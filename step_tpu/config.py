@@ -1,0 +1,162 @@
+"""Frozen configuration for the step_tpu pipeline.
+
+The reference (NVlabs/STEP) spreads configuration over per-script argparse
+flags (``train.py::parse_args`` (recon)); here everything lives in one frozen
+dataclass so a config hashes cleanly into jit static args and the five
+BASELINE.json configs become named presets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    """Static configuration — safe to close over in jitted programs."""
+
+    # ---- dataset / task ----
+    dataset: str = "ucf101_24"          # "ucf101_24" | "ava" | "synthetic"
+    num_classes: int = 24               # foreground classes (background handled separately)
+    multilabel: bool = False            # AVA: per-class sigmoid; UCF: softmax(+bg)
+
+    # ---- clip geometry ----
+    frames_per_chunk: int = 6           # T — frames in the central chunk
+    num_chunks: int = 3                 # chunk axis [fore, mid, back]; always materialized
+    image_size: int = 224               # square input resolution
+    temporal_stride: int = 1            # frame sampling stride inside a chunk
+
+    # ---- backbone ----
+    backbone: str = "i3d"               # I3D (Inflated Inception-v1)
+    two_stream: bool = False            # RGB + optical-flow trunks, late-fused
+    feature_stride: int = 16            # spatial stride at the shared-feature cut (Mixed_4f)
+    compute_dtype: str = "bfloat16"     # MXU-friendly; params stay float32
+
+    # ---- progressive refinement ----
+    num_steps: int = 3                  # S — refinement steps, run as fixed-trip lax.scan
+    num_proposals: int = 11             # initial hand-placed cuboids (paper §3.1)
+    max_proposals: int = 16             # static padded proposal capacity (>= num_proposals)
+    pooled_size: int = 7                # ROI-align output grid (7x7)
+    sampling_ratio: int = 2             # bilinear samples per pooled bin per axis
+    temporal_extension: bool = True     # step>=2 extends tubes into neighbor chunks
+    # Per-step proposal↔GT IoU matching thresholds (cascade-style increase).
+    iou_thresholds: Tuple[float, ...] = (0.5, 0.6, 0.7)
+    # Per-step loss weights (later steps weighted up as in the paper).
+    step_loss_weights: Tuple[float, ...] = (1.0, 1.0, 1.0)
+    reg_loss_weight: float = 1.0
+    use_context: bool = True            # scene-context feature concat in the cls branch
+    # Box-delta encode/decode variances (SSD-style, matching the reference family).
+    box_variances: Tuple[float, float] = (0.1, 0.2)
+
+    # ---- inference ----
+    score_thresh: float = 0.05
+    nms_thresh: float = 0.5
+    max_detections: int = 32            # static cap on per-frame per-class survivors
+    link_iou_weight: float = 1.0        # cross-clip linking: score + w * IoU
+
+    # ---- training ----
+    batch_size: int = 8
+    max_gt_tubes: int = 8               # static padded GT capacity per example
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-4
+    warmup_steps: int = 500
+    total_steps: int = 20000
+    dropout_rate: float = 0.3
+    gt_jitter_proposals: int = 5        # jittered-GT proposals appended during training
+
+    # ---- parallelism ----
+    mesh_shape: Tuple[int, ...] = (8,)  # v5e-8 pure-DP mesh
+    mesh_axes: Tuple[str, ...] = ("data",)
+
+    # ---------------------------------------------------------------- helpers
+    @property
+    def total_frames(self) -> int:
+        """Frames across the always-materialized chunk axis (e.g. 3*6 = 18)."""
+        return self.frames_per_chunk * self.num_chunks
+
+    @property
+    def num_cls_outputs(self) -> int:
+        """Classifier logits: +1 background column for softmax datasets."""
+        return self.num_classes if self.multilabel else self.num_classes + 1
+
+    @property
+    def feature_size(self) -> int:
+        return self.image_size // self.feature_stride
+
+    def replace(self, **kw) -> "StepConfig":
+        return dataclasses.replace(self, **kw)
+
+    def __post_init__(self):
+        if self.max_proposals < self.num_proposals:
+            raise ValueError("max_proposals must be >= num_proposals")
+        if len(self.iou_thresholds) < self.num_steps:
+            raise ValueError("need an IoU threshold per refinement step")
+        if len(self.step_loss_weights) < self.num_steps:
+            raise ValueError("need a loss weight per refinement step")
+        if self.num_chunks % 2 != 1:
+            raise ValueError("num_chunks must be odd (central chunk + symmetric neighbors)")
+
+
+# The five BASELINE.json configs as named presets (BASELINE.json::configs).
+PRESETS = {
+    # 1. "UCF101-24 single 6-frame clip, 1 refinement step, I3D RGB backbone
+    #    (CPU-runnable PR1 ref)"
+    "pr1_ref": StepConfig(
+        dataset="ucf101_24",
+        num_classes=24,
+        frames_per_chunk=6,
+        num_chunks=1,
+        num_steps=1,
+        temporal_extension=False,
+        image_size=112,
+        batch_size=1,
+        iou_thresholds=(0.5,),
+        step_loss_weights=(1.0,),
+    ),
+    # 2. "UCF101-24 full 3-step progressive refinement with temporal extension
+    #    to 18 frames"
+    "ucf_3step": StepConfig(
+        dataset="ucf101_24",
+        num_classes=24,
+        frames_per_chunk=6,
+        num_chunks=3,
+        num_steps=3,
+        temporal_extension=True,
+    ),
+    # 3. "AVA v2.1 keyframe detection with two-branch (global + context)
+    #    heads, 3 steps"
+    "ava_3step": StepConfig(
+        dataset="ava",
+        num_classes=60,
+        multilabel=True,
+        frames_per_chunk=6,
+        num_chunks=3,
+        num_steps=3,
+        temporal_extension=True,
+        use_context=True,
+    ),
+    # 4. "Batched streaming inference: multi-clip video with on-device NMS +
+    #    cross-clip tube linking"
+    "streaming": StepConfig(
+        dataset="ucf101_24",
+        num_classes=24,
+        frames_per_chunk=6,
+        num_chunks=3,
+        num_steps=3,
+        temporal_extension=True,
+        batch_size=16,
+        score_thresh=0.01,
+    ),
+    # 5. "Two-stream I3D (RGB + optical flow) end-to-end with progressive
+    #    multi-step losses (training)"
+    "two_stream_train": StepConfig(
+        dataset="ucf101_24",
+        num_classes=24,
+        two_stream=True,
+        frames_per_chunk=6,
+        num_chunks=3,
+        num_steps=3,
+        temporal_extension=True,
+    ),
+}

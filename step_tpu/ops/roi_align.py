@@ -1,0 +1,147 @@
+"""ROI align as a pure-jnp gather-pool (the numerics reference).
+
+Reference parity: ``external/maskrcnn_benchmark/csrc/cuda/ROIAlign_cuda.cu``
+(recon) — Detectron-style ROIAlign, legacy (aligned=False) coordinate
+convention as used by 2019-era maskrcnn-benchmark:
+
+  * box coords scaled by `spatial_scale`, **no** half-pixel offset;
+  * roi width/height floored at 1 feature cell;
+  * each pooled bin averages `sampling_ratio**2` bilinear samples placed at
+    the centers of a regular sub-grid;
+  * bilinear boundary handling: a sample at (y, x) returns 0 if
+    y < -1 or y > H or x < -1 or x > W; otherwise coords are clamped to
+    [0, H-1] / [0, W-1] and the 4-corner weighted sum is taken.
+
+The backward pass is XLA autodiff of this expression (gathers differentiate
+to scatter-adds), which is exact. The Pallas TPU kernel in
+``roi_align_pallas.py`` must match this function bit-for-bit on its tests.
+
+Layout is channels-last ([H, W, C]) throughout — the TPU-preferred layout.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_weights(coord, limit):
+    """Detectron bilinear: returns (lo_idx, hi_idx, lo_w, hi_w, in_range).
+
+    `coord` may be any shape; `limit` is the axis size (H or W).
+    """
+    in_range = (coord >= -1.0) & (coord <= limit)
+    c = jnp.clip(coord, 0.0, None)
+    lo = jnp.floor(c).astype(jnp.int32)
+    lo = jnp.minimum(lo, limit - 1)
+    at_edge = lo >= limit - 1
+    hi = jnp.where(at_edge, limit - 1, lo + 1)
+    c = jnp.where(at_edge, lo.astype(c.dtype), c)
+    frac = c - lo.astype(c.dtype)
+    return lo, hi, 1.0 - frac, frac, in_range
+
+
+def roi_align(
+    features: jnp.ndarray,
+    boxes: jnp.ndarray,
+    pooled_size: int = 7,
+    spatial_scale: float = 1.0 / 16.0,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """ROI-align `boxes` out of a single feature map.
+
+    Args:
+      features: [H, W, C] feature map (channels last).
+      boxes: [N, 4] x1y1x2y2 in image coordinates.
+      pooled_size: output grid side (7 → 7x7 bins).
+      spatial_scale: image→feature coordinate scale (1/stride).
+      sampling_ratio: bilinear samples per bin per axis.
+
+    Returns: [N, pooled_size, pooled_size, C].
+    """
+    H, W, C = features.shape
+    N = boxes.shape[0]
+    P, S = pooled_size, sampling_ratio
+    dtype = features.dtype
+
+    b = boxes.astype(jnp.float32) * spatial_scale
+    x1, y1 = b[:, 0], b[:, 1]
+    roi_w = jnp.maximum(b[:, 2] - x1, 1.0)  # [N]
+    roi_h = jnp.maximum(b[:, 3] - y1, 1.0)
+    bin_w = roi_w / P
+    bin_h = roi_h / P
+
+    # Sample coordinates: [N, P, S] per axis → broadcast to [N, P, S, P, S].
+    grid = jnp.arange(P, dtype=jnp.float32)
+    sub = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S
+    # offset within roi for bin p, sample s: (p + sub_s) * bin
+    off = grid[:, None] + sub[None, :]                     # [P, S]
+    ys = y1[:, None, None] + off[None] * bin_h[:, None, None]  # [N, P, S]
+    xs = x1[:, None, None] + off[None] * bin_w[:, None, None]  # [N, P, S]
+
+    y_lo, y_hi, wy_lo, wy_hi, y_ok = _bilinear_weights(ys, H)
+    x_lo, x_hi, wx_lo, wx_hi, x_ok = _bilinear_weights(xs, W)
+
+    # Cross the y and x sample axes: y indexes [N, Py, Sy], x indexes [N, Px, Sx].
+    def expand_y(a):
+        return a[:, :, :, None, None]  # [N, P, S, 1, 1]
+
+    def expand_x(a):
+        return a[:, None, None, :, :]  # [N, 1, 1, P, S]
+
+    ok = (expand_y(y_ok) & expand_x(x_ok))                 # [N, P, S, P, S]
+    flat = features.reshape(H * W, C)
+
+    def gather(yi, xi):
+        idx = expand_y(yi) * W + expand_x(xi)              # [N, P, S, P, S]
+        return flat[idx.reshape(-1)].reshape(*idx.shape, C)
+
+    val = (
+        gather(y_lo, x_lo) * (expand_y(wy_lo) * expand_x(wx_lo))[..., None]
+        + gather(y_lo, x_hi) * (expand_y(wy_lo) * expand_x(wx_hi))[..., None]
+        + gather(y_hi, x_lo) * (expand_y(wy_hi) * expand_x(wx_lo))[..., None]
+        + gather(y_hi, x_hi) * (expand_y(wy_hi) * expand_x(wx_hi))[..., None]
+    )
+    val = jnp.where(ok[..., None], val, 0.0)
+    # Average the S*S samples of each bin.
+    out = jnp.mean(val, axis=(2, 4))                       # [N, P, P, C]
+    return out.astype(dtype)
+
+
+def tube_roi_align(
+    features: jnp.ndarray,
+    tubes: jnp.ndarray,
+    pooled_size: int = 7,
+    spatial_scale: float = 1.0 / 16.0,
+    sampling_ratio: int = 2,
+    time_indices: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Tube-of-interest pooling: per-frame ROI align stacked over time.
+
+    Reference parity: ``models/networks.py::ROINet`` (recon) — each temporal
+    slice of the backbone feature map is pooled with that frame's box of each
+    tube, producing a tube feature.
+
+    Args:
+      features: [T', H, W, C] — temporally-strided backbone features.
+      tubes: [N, T, 4] per-frame boxes. If T != T', supply `time_indices`
+        mapping each feature slice t' to the tube frame it corresponds to
+        (the backbone's temporal stride means several input frames share one
+        feature slice); default maps proportionally.
+      Returns: [N, T', pooled, pooled, C].
+    """
+    Tp = features.shape[0]
+    T = tubes.shape[1]
+    if time_indices is None:
+        if T == Tp:
+            time_indices = jnp.arange(Tp)
+        else:
+            # Feature slice t' covers input frames [t'*T/Tp, (t'+1)*T/Tp); use center.
+            time_indices = ((jnp.arange(Tp) + 0.5) * (T / Tp)).astype(jnp.int32)
+    boxes_per_slice = jnp.take(tubes, time_indices, axis=1)  # [N, T', 4]
+
+    def pool_slice(feat_t, boxes_t):
+        return roi_align(feat_t, boxes_t, pooled_size, spatial_scale, sampling_ratio)
+
+    out = jax.vmap(pool_slice, in_axes=(0, 1), out_axes=1)(features, boxes_per_slice)
+    return out  # [N, T', P, P, C]

@@ -1,0 +1,130 @@
+"""ROI-align parity vs. a scalar numpy oracle of the Detectron semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from step_tpu.ops.roi_align import roi_align, tube_roi_align
+
+
+def np_bilinear(feat, y, x):
+    """Detectron bilinear_interpolate semantics (scalar)."""
+    H, W = feat.shape[:2]
+    if y < -1.0 or y > H or x < -1.0 or x > W:
+        return np.zeros(feat.shape[-1], feat.dtype)
+    y = max(y, 0.0)
+    x = max(x, 0.0)
+    y_lo, x_lo = int(y), int(x)
+    if y_lo >= H - 1:
+        y_hi = y_lo = H - 1
+        y = float(y_lo)
+    else:
+        y_hi = y_lo + 1
+    if x_lo >= W - 1:
+        x_hi = x_lo = W - 1
+        x = float(x_lo)
+    else:
+        x_hi = x_lo + 1
+    ly, lx = y - y_lo, x - x_lo
+    return (
+        feat[y_lo, x_lo] * (1 - ly) * (1 - lx)
+        + feat[y_lo, x_hi] * (1 - ly) * lx
+        + feat[y_hi, x_lo] * ly * (1 - lx)
+        + feat[y_hi, x_hi] * ly * lx
+    )
+
+
+def np_roi_align(feat, boxes, pooled, scale, ratio):
+    """Scalar-loop oracle for Detectron-style (aligned=False) ROI align."""
+    N = boxes.shape[0]
+    C = feat.shape[-1]
+    out = np.zeros((N, pooled, pooled, C), np.float32)
+    for n in range(N):
+        x1, y1, x2, y2 = boxes[n] * scale
+        rw = max(x2 - x1, 1.0)
+        rh = max(y2 - y1, 1.0)
+        bw, bh = rw / pooled, rh / pooled
+        for py in range(pooled):
+            for px in range(pooled):
+                acc = np.zeros(C, np.float32)
+                for sy in range(ratio):
+                    for sx in range(ratio):
+                        y = y1 + (py + (sy + 0.5) / ratio) * bh
+                        x = x1 + (px + (sx + 0.5) / ratio) * bw
+                        acc += np_bilinear(feat, y, x)
+                out[n, py, px] = acc / (ratio * ratio)
+    return out
+
+
+@pytest.mark.parametrize("pooled,ratio", [(7, 2), (3, 1), (5, 3)])
+def test_roi_align_matches_oracle(pooled, ratio):
+    rng = np.random.RandomState(0)
+    H, W, C = 14, 14, 8
+    feat = rng.randn(H, W, C).astype(np.float32)
+    boxes = np.array(
+        [
+            [0, 0, 224, 224],       # full image
+            [32, 48, 160, 200],     # interior
+            [-10, -10, 100, 100],   # spills past the top-left
+            [200, 200, 230, 230],   # spills past the bottom-right
+            [50, 50, 52, 52],       # tiny box (< 1 feature cell)
+        ],
+        np.float32,
+    )
+    scale = 1.0 / 16.0
+    got = roi_align(jnp.asarray(feat), jnp.asarray(boxes), pooled, scale, ratio)
+    want = np_roi_align(feat, boxes, pooled, scale, ratio)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_roi_align_degenerate_box():
+    feat = jnp.ones((8, 8, 4), jnp.float32)
+    boxes = jnp.array([[64.0, 64.0, 64.0, 64.0]])  # zero-area box
+    out = roi_align(feat, boxes, 7, 1.0 / 16.0, 2)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_roi_align_differentiable():
+    rng = np.random.RandomState(1)
+    feat = jnp.asarray(rng.randn(10, 10, 4).astype(np.float32))
+    boxes = jnp.array([[16.0, 16.0, 120.0, 120.0]])
+
+    def loss(f):
+        return jnp.sum(roi_align(f, boxes, 5, 1.0 / 16.0, 2) ** 2)
+
+    g = jax.grad(loss)(feat)
+    assert g.shape == feat.shape
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_tube_roi_align_shapes_and_slices():
+    rng = np.random.RandomState(2)
+    Tp, H, W, C = 3, 12, 12, 6
+    feat = rng.randn(Tp, H, W, C).astype(np.float32)
+    # 2 tubes over 6 frames, features strided 2x in time.
+    tubes = np.tile(
+        np.array([[10, 10, 100, 100], [30, 30, 150, 150]], np.float32)[:, None, :],
+        (1, 6, 1),
+    )
+    out = tube_roi_align(jnp.asarray(feat), jnp.asarray(tubes), 7, 1.0 / 16.0, 2)
+    assert out.shape == (2, 3, 7, 7, C)
+    # With identical boxes across frames, each temporal slice pools feat[t]
+    # with the same box; check slice t=1 against single-frame roi_align.
+    single = roi_align(jnp.asarray(feat[1]), jnp.asarray(tubes[:, 0]), 7, 1.0 / 16.0, 2)
+    np.testing.assert_allclose(np.asarray(out[:, 1]), np.asarray(single), rtol=1e-5)
+
+
+def test_tube_roi_align_time_mapping():
+    # T == T' should map identity: per-frame boxes hit their own slice.
+    rng = np.random.RandomState(3)
+    T, H, W, C = 4, 10, 10, 2
+    feat = rng.randn(T, H, W, C).astype(np.float32)
+    tubes = np.zeros((1, T, 4), np.float32)
+    for t in range(T):
+        tubes[0, t] = [t * 10, 0, t * 10 + 80, 80]
+    out = tube_roi_align(jnp.asarray(feat), jnp.asarray(tubes), 3, 1.0 / 16.0, 1)
+    for t in range(T):
+        single = roi_align(jnp.asarray(feat[t]), jnp.asarray(tubes[:, t]), 3, 1.0 / 16.0, 1)
+        np.testing.assert_allclose(np.asarray(out[:, t]), np.asarray(single), rtol=1e-5)
