@@ -1,0 +1,96 @@
+"""Headline benchmark: clips/sec/chip for I3D + 3-step STEP inference.
+
+Prints ONE JSON line:
+  {"metric": "clips_per_sec_per_chip", "value": N, "unit": "clips/s",
+   "vs_baseline": N, ...}
+
+`vs_baseline` normalizes against the BASELINE.json target of >=5x the
+PyTorch reference's throughput. The reference's own throughput could not be
+measured (the reference mount is empty — see SURVEY.md provenance warning)
+and the paper reports no clips/sec; we use a documented proxy of
+REF_CLIPS_PER_SEC = 20.0 for the torch pipeline on a V100-class GPU
+(I3D-backbone detectors of that era ran ~1-2 clips/s/GPU end-to-end with
+data loading; 20 is deliberately generous to the reference so vs_baseline
+understates rather than overstates us). vs_baseline = value / (5 * 20):
+>= 1.0 means the 5x target is met against that proxy.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from step_tpu.config import PRESETS
+from step_tpu.inference import detect_clip
+from step_tpu.models.detector import STEPDetector
+from step_tpu.utils.compile_cache import enable_compile_cache
+from step_tpu.utils.init import init_detector_cpu
+
+enable_compile_cache()
+
+REF_CLIPS_PER_SEC = 20.0  # documented proxy, see module docstring
+TARGET_MULTIPLier = 5.0
+
+BATCH = 8
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    cfg = PRESETS["ucf_3step"]
+    model = STEPDetector(cfg)
+    device = jax.devices()[0]
+    variables = init_detector_cpu(cfg, jax.random.PRNGKey(0), model, device=device)
+
+    T = cfg.total_frames
+    rng = np.random.RandomState(0)
+    rgb = jnp.asarray(
+        rng.rand(BATCH, T, cfg.image_size, cfg.image_size, 3), jnp.float32
+    )
+    proposals, prop_mask = STEPDetector.initial_proposals(cfg, BATCH)
+    rgb, proposals, prop_mask = jax.device_put((rgb, proposals, prop_mask), device)
+
+    @jax.jit
+    def detect(variables, rgb, proposals, prop_mask):
+        return detect_clip(variables, rgb, proposals, prop_mask, cfg, model)
+
+    # ---- throughput (batched) ----
+    t0 = time.time()
+    jax.block_until_ready(detect(variables, rgb, proposals, prop_mask))
+    compile_s = time.time() - t0
+    for _ in range(WARMUP):
+        jax.block_until_ready(detect(variables, rgb, proposals, prop_mask))
+    t0 = time.time()
+    for _ in range(ITERS):
+        jax.block_until_ready(detect(variables, rgb, proposals, prop_mask))
+    dt = (time.time() - t0) / ITERS
+    clips_per_sec = BATCH / dt
+
+    # ---- p50 latency (batch 1) ----
+    rgb1, props1, pmask1 = rgb[:1], proposals[:1], prop_mask[:1]
+    jax.block_until_ready(detect(variables, rgb1, props1, pmask1))
+    lat = []
+    for _ in range(ITERS):
+        t0 = time.time()
+        jax.block_until_ready(detect(variables, rgb1, props1, pmask1))
+        lat.append(time.time() - t0)
+    p50_ms = float(np.percentile(lat, 50) * 1000)
+
+    result = {
+        "metric": "clips_per_sec_per_chip",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(clips_per_sec / (TARGET_MULTIPLier * REF_CLIPS_PER_SEC), 3),
+        "p50_latency_ms": round(p50_ms, 2),
+        "batch": BATCH,
+        "compile_s": round(compile_s, 1),
+        "config": "ucf_3step (3-step refinement, 18 frames, 224px, I3D)",
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,10 @@ class StepConfig:
 
     # ---- backbone ----
     backbone: str = "i3d"               # I3D (Inflated Inception-v1)
+    backbone_depth: str = "full"        # "full" | "tiny" (structure-preserving
+                                        #   shallow variant for CPU tests/dryruns;
+                                        #   tiny has spatial stride 8 → set
+                                        #   feature_stride=8 with it)
     two_stream: bool = False            # RGB + optical-flow trunks, late-fused
     feature_stride: int = 16            # spatial stride at the shared-feature cut (Mixed_4f)
     compute_dtype: str = "bfloat16"     # MXU-friendly; params stay float32

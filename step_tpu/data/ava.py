@@ -1,0 +1,147 @@
+"""AVA v2.1 dataset (keyframe CSV annotations + extracted frames).
+
+Reference parity: ``data/ava.py::AVADataset`` (recon). Consumes the official
+AVA CSV format:
+
+  <csv>: video_id, timestamp(sec), x1, y1, x2, y2, action_id(1-based), person_id
+         (box coords normalized to [0, 1])
+  frames: <root>/frames/<video_id>/<video_id>_<%06d>.jpg  at `fps` frames/sec,
+          frame number = timestamp * fps (AVA's standard extraction layout).
+
+Each sample is one keyframe: the clip spans num_chunks * frames_per_chunk
+frames centered on the keyframe (the reference serves fore/mid/back chunks
+the same way); GT boxes are the keyframe's person boxes replicated across T
+(AVA annotates keyframes only), labels are per-person **multi-hot** vectors
+(rows sharing a person_id merge into one box with several actions).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from collections import defaultdict
+from typing import Optional
+
+import numpy as np
+
+from step_tpu.config import StepConfig
+from step_tpu.data.augmentations import TubeAugment, resize_clip
+from step_tpu.data.ucf import _load_image
+
+
+def read_ava_csv(path: str):
+    """→ {(video, timestamp): [(box[4] normalized, action_0based, person_id)]}"""
+    ann = defaultdict(list)
+    with open(path, newline="") as f:
+        for row in csv.reader(f):
+            if not row or row[0].startswith("#"):
+                continue
+            video, ts = row[0], float(row[1])
+            box = np.asarray([float(x) for x in row[2:6]], np.float32)
+            action = int(row[6]) - 1
+            pid = int(row[7]) if len(row) > 7 else -1
+            ann[(video, ts)].append((box, action, pid))
+    return dict(ann)
+
+
+class AVADataset:
+    """Keyframe sampler over AVA-format data."""
+
+    def __init__(
+        self,
+        root: str,
+        cfg: StepConfig,
+        annotation_file: str,
+        fps: int = 30,
+        augment: bool = False,
+        excluded_keyframes: Optional[set] = None,
+    ):
+        self.root = root
+        self.cfg = cfg
+        self.fps = fps
+        self.augment = TubeAugment() if augment else None
+        self.annotations = read_ava_csv(os.path.join(root, annotation_file))
+        excluded = excluded_keyframes or set()
+        self.keyframes = [k for k in sorted(self.annotations) if k not in excluded]
+
+    def __len__(self):
+        return len(self.keyframes)
+
+    def _frame_path(self, video: str, frame_num: int) -> str:
+        return os.path.join(
+            self.root, "frames", video, f"{video}_{frame_num:06d}.jpg"
+        )
+
+    def clip_frame_numbers(self, timestamp: float) -> np.ndarray:
+        cfg = self.cfg
+        T = cfg.total_frames
+        center = int(round(timestamp * self.fps))
+        start = center - (T // 2) * cfg.temporal_stride
+        idx = start + np.arange(T) * cfg.temporal_stride
+        return np.maximum(idx, 1)  # AVA frame numbering is 1-based
+
+    def _gt_for_keyframe(self, key, img_hw):
+        """Merge per-person action rows into multi-hot GT."""
+        cfg = self.cfg
+        H, W = img_hw
+        G, T, C = cfg.max_gt_tubes, cfg.total_frames, cfg.num_classes
+        gt_tubes = np.zeros((G, T, 4), np.float32)
+        gt_labels = np.zeros((G, C), np.float32)
+        gt_mask = np.zeros((G,), np.float32)
+
+        by_person = defaultdict(lambda: {"box": None, "actions": []})
+        for i, (box, action, pid) in enumerate(self.annotations[key]):
+            slot = by_person[pid if pid >= 0 else ("anon", i)]
+            slot["box"] = box
+            if 0 <= action < C:
+                slot["actions"].append(action)
+
+        for g, slot in enumerate(by_person.values()):
+            if g >= G:
+                break
+            box = slot["box"] * np.asarray([W, H, W, H], np.float32)
+            gt_tubes[g] = np.tile(box[None], (T, 1))
+            for a in slot["actions"]:
+                gt_labels[g, a] = 1.0
+            gt_mask[g] = 1.0
+        return gt_tubes, gt_labels, gt_mask
+
+    def __getitem__(self, i: int) -> dict:
+        video, ts = self.keyframes[i]
+        cfg = self.cfg
+        frame_nums = self.clip_frame_numbers(ts)
+        frames = []
+        last_ok = None
+        for fn in frame_nums:
+            path = self._frame_path(video, int(fn))
+            if os.path.exists(path):
+                last_ok = _load_image(path)
+            elif last_ok is None:
+                raise FileNotFoundError(path)
+            frames.append(last_ok)
+        frames = np.stack(frames)
+
+        gt_tubes, gt_labels, gt_mask = self._gt_for_keyframe(
+            (video, ts), frames.shape[1:3]
+        )
+        if self.augment is not None:
+            rng = np.random.RandomState(hash((video, ts)) % (2**31))
+            frames, gt_tubes, gt_mask = self.augment(frames, gt_tubes, gt_mask, rng)
+        frames, gt_tubes = resize_clip(frames, gt_tubes, cfg.image_size)
+        gt_tubes = np.clip(gt_tubes, 0, cfg.image_size)
+        return {
+            "rgb": frames.astype(np.float32),
+            "gt_tubes": gt_tubes.astype(np.float32),
+            "gt_labels": gt_labels,
+            "gt_mask": gt_mask,
+            "video": video,
+            "timestamp": ts,
+        }
+
+    def groundtruth(self):
+        """GT in `ava_frame_map` format (normalized coords)."""
+        gt = []
+        for key, rows in self.annotations.items():
+            for box, action, pid in rows:
+                gt.append((key, action, box))
+        return gt

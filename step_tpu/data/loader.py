@@ -1,0 +1,113 @@
+"""Batching data loader with background prefetch.
+
+Reference parity: torch ``DataLoader(collate_fn=...)`` in ``train.py``
+(recon). Host-side: worker threads decode/augment clips while the TPU runs
+the previous step; `build_model_batch` pads everything to static shapes so
+the compiled program never re-specializes.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from step_tpu.config import StepConfig
+from step_tpu.data.pipeline import build_model_batch
+
+_STACK_KEYS = ("rgb", "flow", "gt_tubes", "gt_labels", "gt_mask")
+
+
+def collate(clips: list[dict]) -> dict:
+    """Stack per-clip dicts into one raw batch (numeric keys only)."""
+    out = {}
+    for k in _STACK_KEYS:
+        if k in clips[0]:
+            out[k] = np.stack([c[k] for c in clips])
+    out["meta"] = [
+        {k: c[k] for k in c if k not in _STACK_KEYS} for c in clips
+    ]
+    return out
+
+
+class DataLoader:
+    """Iterate batches over a dataset with shuffling + threaded prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        cfg: StepConfig,
+        batch_size: Optional[int] = None,
+        shuffle: bool = True,
+        train: bool = True,
+        seed: int = 0,
+        num_workers: int = 4,
+        prefetch: int = 4,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.cfg = cfg
+        self.batch_size = batch_size or cfg.batch_size
+        self.shuffle = shuffle
+        self.train = train
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(idx)
+        return idx
+
+    def epoch(self, epoch: int = 0) -> Iterator[dict]:
+        """Yield model-ready batches for one epoch (prefetched)."""
+        order = self._epoch_order(epoch)
+        batches = [
+            order[i : i + self.batch_size]
+            for i in range(0, len(order), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for bi, idxs in enumerate(batches):
+                    if stop.is_set():
+                        return
+                    clips = [self.dataset[int(i)] for i in idxs]
+                    raw = collate(clips)
+                    batch = build_model_batch(
+                        raw, self.cfg, train=self.train,
+                        seed=self.seed + epoch * len(batches) + bi,
+                    )
+                    batch["meta"] = raw["meta"]
+                    q.put(batch)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+
+    def __iter__(self):
+        return self.epoch(0)

@@ -1,0 +1,107 @@
+"""Batch assembly: proposals, GT-jitter augmentation, normalization.
+
+Reference parity: the collate fn + in-loop proposal assembly of ``train.py``
+(recon). The training trick of adding jittered copies of the GT tubes to the
+proposal set (so later steps see near-positive anchors) fills the static
+padding slots between the 11 initial cuboids and `max_proposals`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from step_tpu.config import StepConfig
+from step_tpu.tubes.proposals import initial_cuboids
+
+# ImageNet/Kinetics mean-std in [0,1] scale (reference normalizes similarly
+# in data/augmentations.py (recon)).
+RGB_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+RGB_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
+def normalize_rgb(rgb: np.ndarray) -> np.ndarray:
+    return (rgb - RGB_MEAN) / RGB_STD
+
+
+def jitter_gt_proposals(
+    gt_tubes: np.ndarray,   # [G, T, 4]
+    gt_mask: np.ndarray,    # [G]
+    num: int,
+    image_size: float,
+    rng: np.random.RandomState,
+    jitter_frac: float = 0.1,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sample `num` jittered copies of valid GT tubes → ([num, T, 4], [num])."""
+    T = gt_tubes.shape[1]
+    out = np.zeros((num, T, 4), np.float32)
+    mask = np.zeros((num,), np.float32)
+    valid = np.flatnonzero(gt_mask > 0)
+    if len(valid) == 0:
+        return out, mask
+    for i in range(num):
+        g = valid[i % len(valid)]
+        tube = gt_tubes[g].copy()
+        w = tube[:, 2] - tube[:, 0]
+        h = tube[:, 3] - tube[:, 1]
+        # one whole-tube offset + scale jitter (keeps tube coherent in time)
+        dx = rng.uniform(-jitter_frac, jitter_frac) * w.mean()
+        dy = rng.uniform(-jitter_frac, jitter_frac) * h.mean()
+        ds = 1.0 + rng.uniform(-jitter_frac, jitter_frac)
+        cx = (tube[:, 0] + tube[:, 2]) / 2 + dx
+        cy = (tube[:, 1] + tube[:, 3]) / 2 + dy
+        nw, nh = w * ds / 2, h * ds / 2
+        tube = np.stack([cx - nw, cy - nh, cx + nw, cy + nh], -1)
+        out[i] = np.clip(tube, 0.0, image_size)
+        mask[i] = 1.0
+    return out, mask
+
+
+def build_model_batch(
+    raw: dict,
+    cfg: StepConfig,
+    train: bool = False,
+    seed: int = 0,
+) -> dict:
+    """raw batch (rgb [B,T,H,W,3] in [0,1], gt_*) → model batch.
+
+    Adds `proposals` [B, P, T, 4] (initial cuboids + optional jittered GT in
+    the padding slots), `prop_mask` [B, P], and normalized rgb.
+    """
+    B, T = raw["rgb"].shape[:2]
+    base_tubes, base_mask = initial_cuboids(cfg.image_size, T, cfg.max_proposals)
+    base_tubes, base_mask = np.asarray(base_tubes), np.asarray(base_mask)
+    proposals = np.tile(base_tubes[None], (B, 1, 1, 1))
+    prop_mask = np.tile(base_mask[None], (B, 1))
+
+    if train and cfg.gt_jitter_proposals > 0:
+        rng = np.random.RandomState(seed)
+        n_init = int(base_mask.sum())
+        n_jit = min(cfg.gt_jitter_proposals, cfg.max_proposals - n_init)
+        for b in range(B):
+            jt, jm = jitter_gt_proposals(
+                raw["gt_tubes"][b], raw["gt_mask"][b], n_jit, cfg.image_size, rng
+            )
+            proposals[b, n_init : n_init + n_jit] = jt
+            prop_mask[b, n_init : n_init + n_jit] = jm
+
+    batch = {
+        "rgb": normalize_rgb(raw["rgb"]).astype(np.float32),
+        "proposals": proposals.astype(np.float32),
+        "prop_mask": prop_mask.astype(np.float32),
+        "gt_tubes": raw["gt_tubes"].astype(np.float32),
+        "gt_mask": raw["gt_mask"].astype(np.float32),
+    }
+    if "flow" in raw:
+        batch["flow"] = raw["flow"].astype(np.float32)
+    labels = raw["gt_labels"]
+    if cfg.multilabel and labels.ndim == 2:
+        # convert int labels to multi-hot if a multilabel dataset handed ints
+        onehot = np.zeros((*labels.shape, cfg.num_classes), np.float32)
+        for b in range(labels.shape[0]):
+            for g in range(labels.shape[1]):
+                if raw["gt_mask"][b, g] > 0:
+                    onehot[b, g, labels[b, g]] = 1.0
+        batch["gt_labels"] = onehot
+    else:
+        batch["gt_labels"] = labels.astype(np.int32)
+    return batch

@@ -1,0 +1,101 @@
+"""Deterministic synthetic moving-box videos.
+
+The reference has no test suite (SURVEY §4); this dataset is the rebuild's
+correctness oracle: a rectangle of a class-specific color moves linearly
+across a textured background, so GT tubes are exact, motion is linear (the
+temporal-extrapolation model is exact), and a detector that learns anything
+must localize it. Used by unit tests, the overfit sanity check, golden
+regression tests, and `bench.py` input generation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class SyntheticConfig:
+    image_size: int = 112
+    num_frames: int = 18
+    num_classes: int = 4
+    max_boxes: int = 2          # moving boxes per clip (= GT tubes)
+    min_box: float = 0.2        # box size as a fraction of image
+    max_box: float = 0.4
+    noise: float = 0.05
+
+    # class → RGB color of the moving box
+    @property
+    def palette(self):
+        base = np.asarray(
+            [
+                [0.9, 0.1, 0.1],
+                [0.1, 0.9, 0.1],
+                [0.1, 0.1, 0.9],
+                [0.9, 0.9, 0.1],
+                [0.9, 0.1, 0.9],
+                [0.1, 0.9, 0.9],
+                [0.9, 0.5, 0.1],
+                [0.5, 0.1, 0.9],
+            ],
+            np.float32,
+        )
+        reps = int(np.ceil(self.num_classes / len(base)))
+        return np.tile(base, (reps, 1))[: self.num_classes]
+
+
+def make_clip(seed: int, cfg: SyntheticConfig = SyntheticConfig()):
+    """One clip: returns dict(rgb [T,H,W,3] f32 in [0,1],
+    gt_tubes [G,T,4], gt_labels [G] int32, gt_mask [G])."""
+    rng = np.random.RandomState(seed)
+    S, T, G = cfg.image_size, cfg.num_frames, cfg.max_boxes
+    t = np.arange(T, dtype=np.float32)
+
+    # textured background (low-frequency noise), constant in time
+    bg = rng.rand(S // 8 + 1, S // 8 + 1, 3).astype(np.float32)
+    bg = np.kron(bg, np.ones((8, 8, 1), np.float32))[:S, :S] * 0.3 + 0.2
+    rgb = np.tile(bg[None], (T, 1, 1, 1))
+
+    n_boxes = rng.randint(1, G + 1)
+    gt_tubes = np.zeros((G, T, 4), np.float32)
+    gt_labels = np.zeros((G,), np.int32)
+    gt_mask = np.zeros((G,), np.float32)
+    palette = cfg.palette
+
+    for g in range(n_boxes):
+        size = rng.uniform(cfg.min_box, cfg.max_box) * S
+        # start position and a velocity that keeps the box inside the frame
+        max_v = (S - size) / max(T - 1, 1)
+        vx = rng.uniform(-max_v, max_v)
+        vy = rng.uniform(-max_v, max_v)
+        x0 = rng.uniform(0, S - size - abs(vx) * (T - 1)) + max(0.0, -vx * (T - 1))
+        y0 = rng.uniform(0, S - size - abs(vy) * (T - 1)) + max(0.0, -vy * (T - 1))
+        label = rng.randint(cfg.num_classes)
+        color = palette[label]
+
+        x1 = x0 + vx * t
+        y1 = y0 + vy * t
+        gt_tubes[g] = np.stack([x1, y1, x1 + size, y1 + size], -1)
+        gt_labels[g] = label
+        gt_mask[g] = 1.0
+        for fr in range(T):
+            xa, ya, xb, yb = gt_tubes[g, fr]
+            xa, ya = int(round(xa)), int(round(ya))
+            xb, yb = int(round(xb)), int(round(yb))
+            rgb[fr, max(ya, 0):yb, max(xa, 0):xb] = color
+
+    rgb += rng.randn(*rgb.shape).astype(np.float32) * cfg.noise
+    rgb = np.clip(rgb, 0.0, 1.0)
+    return {
+        "rgb": rgb,
+        "gt_tubes": gt_tubes,
+        "gt_labels": gt_labels,
+        "gt_mask": gt_mask,
+    }
+
+
+def make_batch(seed: int, batch_size: int, cfg: SyntheticConfig = SyntheticConfig()):
+    """Stack `batch_size` clips (seeds seed..seed+B-1) into one batch dict."""
+    clips = [make_clip(seed + i, cfg) for i in range(batch_size)]
+    return {k: np.stack([c[k] for c in clips]) for k in clips[0]}

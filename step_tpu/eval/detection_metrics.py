@@ -1,0 +1,172 @@
+"""Detection metrics: VOC-style AP, frame-mAP, tube video-mAP.
+
+Reference parity: UCF101-24 frame-mAP@0.5 and video-mAP@{0.2,0.5,0.5:0.95}
+(``test.py`` + ``utils`` eval code (recon)). Conventions follow the standard
+UCF101-24 protocol:
+
+  * frame-mAP: per-class all-point-interpolated AP over per-frame boxes at
+    spatial IoU >= thresh; each GT box matches at most one detection
+    (greedy, detections sorted by score).
+  * video-mAP: AP over video-long tubes; spatio-temporal tube IoU =
+    temporal IoU (frame-span overlap) x mean spatial IoU over the
+    intersection frames.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+Box = np.ndarray  # [4] x1y1x2y2
+
+
+def _iou_1vsN(box: Box, boxes: np.ndarray) -> np.ndarray:
+    if len(boxes) == 0:
+        return np.zeros((0,), np.float32)
+    x1 = np.maximum(box[0], boxes[:, 0])
+    y1 = np.maximum(box[1], boxes[:, 1])
+    x2 = np.minimum(box[2], boxes[:, 2])
+    y2 = np.minimum(box[3], boxes[:, 3])
+    inter = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
+    a = (box[2] - box[0]) * (box[3] - box[1])
+    b = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    return inter / np.maximum(a + b - inter, 1e-8)
+
+
+def average_precision(scores: np.ndarray, tp: np.ndarray, num_gt: int) -> float:
+    """All-point interpolated AP (VOC 2010+ / COCO style, no sampling)."""
+    if num_gt == 0:
+        return float("nan")
+    if len(scores) == 0:
+        return 0.0
+    order = np.argsort(-scores)
+    tp = tp[order].astype(np.float64)
+    fp = 1.0 - tp
+    ctp, cfp = np.cumsum(tp), np.cumsum(fp)
+    recall = ctp / num_gt
+    precision = ctp / np.maximum(ctp + cfp, 1e-8)
+    # envelope
+    for i in range(len(precision) - 1, 0, -1):
+        precision[i - 1] = max(precision[i - 1], precision[i])
+    # integrate over recall deltas
+    r = np.concatenate([[0.0], recall])
+    return float(np.sum((r[1:] - r[:-1]) * precision))
+
+
+# ---------------------------------------------------------------- frame mAP
+
+def frame_map(
+    detections: Sequence[Tuple],   # (frame_key, class_id, score, box[4])
+    groundtruth: Sequence[Tuple],  # (frame_key, class_id, box[4])
+    num_classes: int,
+    iou_threshold: float = 0.5,
+) -> Dict:
+    """Frame-level mean AP. Returns {'mAP', 'ap_per_class', 'num_gt'}."""
+    gt_by_cf = defaultdict(list)
+    gt_count = np.zeros(num_classes, np.int64)
+    for frame_key, cls, box in groundtruth:
+        gt_by_cf[(cls, frame_key)].append(np.asarray(box, np.float32))
+        gt_count[cls] += 1
+
+    det_by_class = defaultdict(list)
+    for frame_key, cls, score, box in detections:
+        det_by_class[cls].append((float(score), frame_key, np.asarray(box, np.float32)))
+
+    ap = np.full(num_classes, np.nan, np.float64)
+    for cls in range(num_classes):
+        dets = sorted(det_by_class[cls], key=lambda d: -d[0])
+        used = {k: np.zeros(len(v), bool) for k, v in gt_by_cf.items() if k[0] == cls}
+        scores = np.asarray([d[0] for d in dets], np.float32)
+        tp = np.zeros(len(dets), bool)
+        for i, (score, frame_key, box) in enumerate(dets):
+            key = (cls, frame_key)
+            gts = gt_by_cf.get(key, [])
+            if gts:
+                ious = _iou_1vsN(box, np.stack(gts))
+                ious[used[key]] = -1.0
+                j = int(np.argmax(ious)) if len(ious) else -1
+                if j >= 0 and ious[j] >= iou_threshold:
+                    tp[i] = True
+                    used[key][j] = True
+        ap[cls] = average_precision(scores, tp, int(gt_count[cls]))
+
+    valid = ~np.isnan(ap)
+    return {
+        "mAP": float(np.mean(ap[valid])) if valid.any() else 0.0,
+        "ap_per_class": ap,
+        "num_gt": gt_count,
+    }
+
+
+# ---------------------------------------------------------------- video mAP
+
+def spatio_temporal_iou(
+    tube_a: Dict[int, Box], tube_b: Dict[int, Box]
+) -> float:
+    """UCF101-24 tube IoU: temporal IoU x mean spatial IoU on shared frames."""
+    frames_a, frames_b = set(tube_a), set(tube_b)
+    inter_frames = frames_a & frames_b
+    union_frames = frames_a | frames_b
+    if not inter_frames:
+        return 0.0
+    t_iou = len(inter_frames) / len(union_frames)
+    s_iou = np.mean(
+        [float(_iou_1vsN(np.asarray(tube_a[f]), np.asarray(tube_b[f])[None])[0])
+         for f in sorted(inter_frames)]
+    )
+    return float(t_iou * s_iou)
+
+
+def video_map(
+    pred_tubes: Sequence[Tuple],  # (video_id, class_id, score, {frame: box})
+    gt_tubes: Sequence[Tuple],    # (video_id, class_id, {frame: box})
+    num_classes: int,
+    iou_threshold: float = 0.5,
+) -> Dict:
+    """Video-level tube mAP at a spatio-temporal IoU threshold."""
+    gt_by_cv = defaultdict(list)
+    gt_count = np.zeros(num_classes, np.int64)
+    for vid, cls, tube in gt_tubes:
+        gt_by_cv[(cls, vid)].append(tube)
+        gt_count[cls] += 1
+
+    det_by_class = defaultdict(list)
+    for vid, cls, score, tube in pred_tubes:
+        det_by_class[cls].append((float(score), vid, tube))
+
+    ap = np.full(num_classes, np.nan, np.float64)
+    for cls in range(num_classes):
+        dets = sorted(det_by_class[cls], key=lambda d: -d[0])
+        used = {k: np.zeros(len(v), bool) for k, v in gt_by_cv.items() if k[0] == cls}
+        scores = np.asarray([d[0] for d in dets], np.float32)
+        tp = np.zeros(len(dets), bool)
+        for i, (score, vid, tube) in enumerate(dets):
+            key = (cls, vid)
+            gts = gt_by_cv.get(key, [])
+            if gts:
+                ious = np.asarray([spatio_temporal_iou(tube, g) for g in gts])
+                ious[used[key]] = -1.0
+                j = int(np.argmax(ious)) if len(ious) else -1
+                if j >= 0 and ious[j] >= iou_threshold:
+                    tp[i] = True
+                    used[key][j] = True
+        ap[cls] = average_precision(scores, tp, int(gt_count[cls]))
+
+    valid = ~np.isnan(ap)
+    return {
+        "mAP": float(np.mean(ap[valid])) if valid.any() else 0.0,
+        "ap_per_class": ap,
+        "num_gt": gt_count,
+    }
+
+
+def video_map_range(
+    pred_tubes, gt_tubes, num_classes,
+    thresholds=tuple(np.arange(0.5, 1.0, 0.05)),
+) -> float:
+    """COCO-style averaged video-mAP (the 0.5:0.95 column)."""
+    vals = [video_map(pred_tubes, gt_tubes, num_classes, float(t))["mAP"]
+            for t in thresholds]
+    return float(np.mean(vals))

@@ -1,0 +1,156 @@
+"""STEPDetector — the progressive refinement loop as one compiled program.
+
+Reference parity: the per-step Python loop in ``train.py`` (recon):
+pool → heads → decode → (temporal extension) → next step's proposals.
+Here the whole S-step loop is a **fixed-trip-count `flax.linen.scan`** over
+stacked per-step head params (the BASELINE north-star requirement), so the
+iterative proposal refinement compiles to a single XLA program with no
+host round-trips:
+
+  carry = (feat, ctx, tubes); xs = step index
+  step body:
+    frame_mask_s = chunk activity for step s (temporal extension 6→18)
+    pooled   = tube ROI-align of `tubes` on the shared feature map
+    cls, Δ   = TwoBranchHead_s(pooled, ctx)          (per-step params)
+    decoded  = decode(Δ, tubes) on active frames
+    tubes'   = linear-motion extrapolation into not-yet-active frames
+
+Outputs stack every step's logits / proposals / decoded tubes so training
+can supervise all steps (the reference sums per-step losses) and inference
+can read the final step.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from step_tpu.config import StepConfig
+from step_tpu.models.nets import FeatureNet, ContextNet, TwoBranchHead
+from step_tpu.ops.roi_align import tube_roi_align
+from step_tpu.tubes.boxes import decode_boxes, clip_boxes
+from step_tpu.tubes.tube_ops import chunk_frame_mask, extrapolate_tubes
+from step_tpu.tubes.proposals import initial_cuboids
+
+
+def feature_time_indices(T: int, Tp: int) -> jnp.ndarray:
+    """Map each strided feature slice t' to the input frame at its center."""
+    if T == Tp:
+        return jnp.arange(Tp)
+    return ((jnp.arange(Tp) + 0.5) * (T / Tp)).astype(jnp.int32)
+
+
+class _StepBody(nn.Module):
+    """One refinement step — scanned over stacked per-step params."""
+
+    cfg: StepConfig
+
+    @nn.compact
+    def __call__(self, carry, step_idx):
+        cfg = self.cfg
+        feat, ctx, tubes = carry           # feat [B,T',H',W',C]; tubes [B,P,T,4]
+        B, P, T = tubes.shape[0], tubes.shape[1], tubes.shape[2]
+        Tp = feat.shape[1]
+
+        # Frame activity for this step (temporal extension).
+        fmask = chunk_frame_mask(
+            step_idx, cfg.num_chunks, cfg.frames_per_chunk, cfg.temporal_extension
+        )                                   # [T]
+        t_idx = feature_time_indices(T, Tp)
+        tpmask = jnp.take(fmask, t_idx)     # [T'] — feature slices active now
+
+        # Tube-of-interest pooling on the shared feature map.
+        pooled = jax.vmap(
+            lambda f, tb: tube_roi_align(
+                f, tb, cfg.pooled_size, 1.0 / cfg.feature_stride, cfg.sampling_ratio
+            )
+        )(feat, tubes)                      # [B, P, T', 7, 7, C]
+        pooled = pooled.reshape(B * P, Tp, cfg.pooled_size, cfg.pooled_size, -1)
+
+        ctx_flat = None
+        if ctx is not None:
+            ctx_flat = jnp.broadcast_to(ctx[:, None, :], (B, P, ctx.shape[-1]))
+            ctx_flat = ctx_flat.reshape(B * P, -1)
+
+        head = TwoBranchHead(
+            num_cls_outputs=cfg.num_cls_outputs,
+            num_frames=T,
+            dropout_rate=cfg.dropout_rate,
+            depth=cfg.backbone_depth,
+            dtype=jnp.dtype(cfg.compute_dtype),
+            name="head",
+        )
+        cls_logits, deltas = head(pooled, ctx_flat, tpmask, train=self.is_train())
+        cls_logits = cls_logits.reshape(B, P, -1)
+        deltas = deltas.reshape(B, P, T, 4)
+
+        # Decode on active frames; inactive frames are filled by linear-motion
+        # extrapolation (the reference's temporal extension between steps).
+        decoded = decode_boxes(deltas, tubes, cfg.box_variances)
+        decoded = clip_boxes(decoded, cfg.image_size, cfg.image_size)
+        filled = extrapolate_tubes(
+            decoded * fmask[:, None], fmask, float(cfg.image_size)
+        )
+        new_tubes = jax.lax.stop_gradient(filled)
+
+        outputs = {
+            "cls_logits": cls_logits,   # [B, P, ncls]
+            "deltas": deltas,           # [B, P, T, 4]
+            "proposals": tubes,         # [B, P, T, 4] — anchors of this step
+            "tubes": filled,            # [B, P, T, 4] — refined (extension-filled)
+            "frame_mask": fmask,        # [T]
+        }
+        return (feat, ctx, new_tubes), outputs
+
+    def is_train(self) -> bool:
+        return self.has_rng("dropout")
+
+
+class STEPDetector(nn.Module):
+    """Full detector: backbone + context + S-step progressive refinement."""
+
+    cfg: StepConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        rgb: jnp.ndarray,                       # [B, T, H, W, 3]
+        proposals: jnp.ndarray,                 # [B, P, T, 4]
+        flow: Optional[jnp.ndarray] = None,     # [B, T, H, W, 2]
+        train: bool = False,
+    ):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        feat = FeatureNet(two_stream=cfg.two_stream, depth=cfg.backbone_depth,
+                           dtype=dtype, name="features")(
+            rgb.astype(dtype), None if flow is None else flow.astype(dtype), train
+        )
+        ctx = None
+        if cfg.use_context:
+            ctx = ContextNet(dtype=dtype, name="context")(feat, train)
+
+        Loop = nn.scan(
+            _StepBody,
+            variable_axes={"params": 0, "batch_stats": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=0,
+            out_axes=0,
+            length=cfg.num_steps,
+        )
+        carry = (feat, ctx, proposals.astype(jnp.float32))
+        steps = jnp.arange(cfg.num_steps)
+        _, outputs = Loop(cfg, name="steps")(carry, steps)
+        return outputs
+
+    # ------------------------------------------------------------- helpers
+    @staticmethod
+    def initial_proposals(cfg: StepConfig, batch_size: int):
+        """[B, P, T, 4] initial cuboids + [B, P] validity mask."""
+        tubes, mask = initial_cuboids(cfg.image_size, cfg.total_frames, cfg.max_proposals)
+        return (
+            jnp.broadcast_to(tubes[None], (batch_size, *tubes.shape)),
+            jnp.broadcast_to(mask[None], (batch_size, mask.shape[0])),
+        )

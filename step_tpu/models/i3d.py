@@ -1,0 +1,199 @@
+"""I3D — Inflated 3D Inception-v1 backbone, TPU-native.
+
+Reference parity: ``models/i3dpt.py::I3D / Unit3Dpy / Mixed /
+MaxPool3dTFPadding`` (recon). Same architecture (Carreira & Zisserman,
+"Quo Vadis"), re-expressed for TPU:
+
+  * channels-last ``[B, T, H, W, C]`` (NDHWC) — the MXU-friendly layout;
+  * TF-style SAME padding on convs and max-pools (lax 'SAME' == TF SAME,
+    which is what ``MaxPool3dTFPadding`` hand-implements in the reference);
+  * BatchNorm eps 1e-3 (TF default used by released I3D checkpoints);
+  * params float32, compute optionally bfloat16 (`dtype`);
+  * split into `I3DStem` (stem → Mixed_4f, the shared detection feature,
+    832 ch, spatial stride 16, temporal stride 4) and `I3DTail`
+    (Mixed_5b/5c, run inside the detection heads on pooled tube features)
+    exactly where the reference cuts it.
+
+`I3DClassifier` composes both plus the Kinetics logits head — used by the
+weight converter's end-to-end parity check and available as a standalone
+video classifier.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+# Inception-v1 branch widths: (b0_1x1, b1_reduce, b1_3x3, b2_reduce, b2_3x3, b3_pool_proj)
+INCEPTION_CHANNELS = {
+    "Mixed_3b": (64, 96, 128, 16, 32, 32),      # out 256
+    "Mixed_3c": (128, 128, 192, 32, 96, 64),    # out 480
+    "Mixed_4b": (192, 96, 208, 16, 48, 64),     # out 512
+    "Mixed_4c": (160, 112, 224, 24, 64, 64),    # out 512
+    "Mixed_4d": (128, 128, 256, 24, 64, 64),    # out 512
+    "Mixed_4e": (112, 144, 288, 32, 64, 64),    # out 528
+    "Mixed_4f": (256, 160, 320, 32, 128, 128),  # out 832
+    "Mixed_5b": (256, 160, 320, 32, 128, 128),  # out 832
+    "Mixed_5c": (384, 192, 384, 48, 128, 128),  # out 1024
+}
+
+BN_EPS = 1e-3
+BN_MOMENTUM = 0.9
+
+
+class Unit3D(nn.Module):
+    """Conv3D + BatchNorm + ReLU (reference ``Unit3Dpy``)."""
+
+    features: int
+    kernel: Tuple[int, int, int] = (1, 1, 1)
+    stride: Tuple[int, int, int] = (1, 1, 1)
+    use_bn: bool = True
+    use_relu: bool = True
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            kernel_size=self.kernel,
+            strides=self.stride,
+            padding="SAME",
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=BN_MOMENTUM,
+                epsilon=BN_EPS,
+                dtype=self.dtype,
+                name="bn",
+            )(x)
+        if self.use_relu:
+            x = nn.relu(x)
+        return x
+
+
+def max_pool_3d(x, window: Tuple[int, int, int], stride: Tuple[int, int, int]):
+    """TF-SAME 3D max pool over [B, T, H, W, C] (reference
+    ``MaxPool3dTFPadding``: torch needs manual asymmetric padding; lax's
+    'SAME' implements the TF rule natively)."""
+    dims = (1, *window, 1)
+    strides = (1, *stride, 1)
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, dims, strides, "SAME"
+    )
+
+
+class InceptionBlock(nn.Module):
+    """Inflated Inception module: four parallel branches, channel-concat."""
+
+    channels: Sequence[int]  # (b0, b1r, b1, b2r, b2, b3)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.channels
+        u = lambda f, k, name: Unit3D(f, k, dtype=self.dtype, name=name)
+        b0 = u(c[0], (1, 1, 1), "b0")(x, train)
+        b1 = u(c[1], (1, 1, 1), "b1a")(x, train)
+        b1 = u(c[2], (3, 3, 3), "b1b")(b1, train)
+        b2 = u(c[3], (1, 1, 1), "b2a")(x, train)
+        b2 = u(c[4], (3, 3, 3), "b2b")(b2, train)
+        b3 = max_pool_3d(x, (3, 3, 3), (1, 1, 1))
+        b3 = u(c[5], (1, 1, 1), "b3b")(b3, train)
+        return jnp.concatenate([b0, b1, b2, b3], axis=-1)
+
+
+class I3DStem(nn.Module):
+    """I3D from the input clip through Mixed_4f (the shared feature).
+
+    Input  [B, T, H, W, C_in]  (C_in = 3 RGB or 2 flow)
+    Output [B, T/4, H/16, W/16, 832]
+
+    `depth="tiny"` builds a structure-preserving shallow variant (same
+    Unit3D/InceptionBlock building blocks, same 832-ch output, temporal
+    stride 4, spatial stride **8**) whose only purpose is fast XLA-CPU
+    compiles in unit tests and multi-chip dryruns — sharding and loop
+    semantics are identical to the full model.
+    """
+
+    depth: str = "full"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.depth == "tiny":
+            tiny_a = (16, 16, 24, 8, 16, 8)    # out 64
+            tiny_b = (32, 24, 48, 8, 24, 24)   # out 128
+            x = Unit3D(16, (3, 7, 7), (2, 2, 2), dtype=self.dtype, name="Conv3d_1a_7x7")(x, train)
+            x = max_pool_3d(x, (1, 3, 3), (1, 2, 2))
+            x = InceptionBlock(tiny_a, dtype=self.dtype, name="Mixed_3b")(x, train)
+            x = max_pool_3d(x, (3, 3, 3), (2, 2, 2))
+            x = InceptionBlock(tiny_b, dtype=self.dtype, name="Mixed_4f")(x, train)
+            return x
+        x = Unit3D(64, (7, 7, 7), (2, 2, 2), dtype=self.dtype, name="Conv3d_1a_7x7")(x, train)
+        x = max_pool_3d(x, (1, 3, 3), (1, 2, 2))
+        x = Unit3D(64, (1, 1, 1), dtype=self.dtype, name="Conv3d_2b_1x1")(x, train)
+        x = Unit3D(192, (3, 3, 3), dtype=self.dtype, name="Conv3d_2c_3x3")(x, train)
+        x = max_pool_3d(x, (1, 3, 3), (1, 2, 2))
+        for name in ("Mixed_3b", "Mixed_3c"):
+            x = InceptionBlock(INCEPTION_CHANNELS[name], dtype=self.dtype, name=name)(x, train)
+        x = max_pool_3d(x, (3, 3, 3), (2, 2, 2))
+        for name in ("Mixed_4b", "Mixed_4c", "Mixed_4d", "Mixed_4e", "Mixed_4f"):
+            x = InceptionBlock(INCEPTION_CHANNELS[name], dtype=self.dtype, name=name)(x, train)
+        return x
+
+
+class I3DTail(nn.Module):
+    """Mixed_5b + Mixed_5c — run by the detection heads on pooled tube
+    features (reference: the tail I3D blocks inside ``TwoBranchNet``).
+
+    The classifier path applies the 2x2x2 MaxPool_5a first; on 7x7 pooled
+    tube features the heads skip the spatial pool (`pool_5a=False`) to keep
+    the ROI grid resolution.
+    """
+
+    pool_5a: bool = False
+    depth: str = "full"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.pool_5a:
+            x = max_pool_3d(x, (2, 2, 2), (2, 2, 2))
+        if self.depth == "tiny":
+            return InceptionBlock((32, 24, 48, 8, 24, 24), dtype=self.dtype,
+                                  name="Mixed_5c")(x, train)
+        x = InceptionBlock(INCEPTION_CHANNELS["Mixed_5b"], dtype=self.dtype, name="Mixed_5b")(x, train)
+        x = InceptionBlock(INCEPTION_CHANNELS["Mixed_5c"], dtype=self.dtype, name="Mixed_5c")(x, train)
+        return x
+
+
+class I3DClassifier(nn.Module):
+    """Full I3D video classifier (Kinetics head) — stem + tail + logits.
+
+    Used to validate converted pretrained weights end-to-end and as the
+    standalone action-classification model family.
+    """
+
+    num_classes: int = 400
+    dropout_rate: float = 0.5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = I3DStem(dtype=self.dtype, name="stem")(x, train)
+        x = I3DTail(pool_5a=True, dtype=self.dtype, name="tail")(x, train)
+        # global spatial average pool, keep time; then 1x1x1 conv logits
+        x = jnp.mean(x, axis=(2, 3), keepdims=True)  # [B, T', 1, 1, 1024]
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        x = nn.Conv(self.num_classes, (1, 1, 1), use_bias=True,
+                    dtype=self.dtype, name="logits")(x)
+        # average logits over time (TF I3D convention)
+        return jnp.mean(x, axis=(1, 2, 3))  # [B, num_classes]

@@ -1,0 +1,112 @@
+"""Detection networks: feature extractor, scene context, two-branch heads.
+
+Reference parity: ``models/networks.py::BaseNet / ContextNet / TwoBranchNet``
+(recon). TPU-native design notes:
+
+  * `FeatureNet` runs the I3D stem over the WHOLE always-materialized chunk
+    axis (e.g. 18 frames) in one conv program — better MXU utilization than
+    the reference's per-chunk passes; the temporal receptive field crossing
+    chunk borders is an intentional, documented deviation.
+  * Two-stream fuses RGB+flow stem features with a 1x1x1 conv (end-to-end
+    trainable late fusion) instead of the reference's separate nets with
+    test-time score averaging — matches BASELINE config 5 ("two-stream ...
+    end-to-end").
+  * `TwoBranchHead` = I3D tail on pooled tube features, then a masked
+    temporal-mean classification branch (+ scene context concat) and a
+    per-frame regression branch that linearly resizes the strided temporal
+    axis back to input-frame resolution.
+
+All modules take channels-last tensors and are static-shaped.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from step_tpu.models.i3d import I3DStem, I3DTail, Unit3D
+
+EPS = 1e-6
+
+
+class FeatureNet(nn.Module):
+    """Shared backbone features (reference ``BaseNet``).
+
+    rgb [B, T, H, W, 3] (+ flow [B, T, H, W, 2]) → [B, T', H/16, W/16, 832].
+    """
+
+    two_stream: bool = False
+    depth: str = "full"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, rgb, flow=None, train: bool = False):
+        feat = I3DStem(depth=self.depth, dtype=self.dtype, name="stem_rgb")(rgb, train)
+        if self.two_stream:
+            if flow is None:
+                raise ValueError("two_stream=True requires a flow input")
+            flow_feat = I3DStem(depth=self.depth, dtype=self.dtype, name="stem_flow")(flow, train)
+            feat = jnp.concatenate([feat, flow_feat], axis=-1)
+            feat = Unit3D(832, (1, 1, 1), dtype=self.dtype, name="fusion")(feat, train)
+        return feat
+
+
+class ContextNet(nn.Module):
+    """Global scene-context feature (reference ``ContextNet``): whole-frame
+    pooled backbone feature → small projection, concatenated into the
+    classification branch of every proposal."""
+
+    context_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, train: bool = False):
+        # feat: [B, T', H', W', C] → [B, context_dim]
+        x = jnp.mean(feat, axis=(1, 2, 3))
+        x = nn.Dense(self.context_dim, dtype=self.dtype, name="proj")(x)
+        return nn.relu(x)
+
+
+class TwoBranchHead(nn.Module):
+    """Per-step detection head (reference ``TwoBranchNet``).
+
+    Classification: I3D tail → masked temporal mean + spatial mean →
+    (concat context) → dropout → logits.
+    Regression: I3D tail → spatial mean (keep T') → linear temporal resize
+    to T → shared per-frame Dense(4) box deltas.
+    """
+
+    num_cls_outputs: int
+    num_frames: int                 # T — input-frame resolution of reg outputs
+    dropout_rate: float = 0.3
+    depth: str = "full"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pooled, ctx=None, tprime_mask=None, train: bool = False):
+        """pooled [P, T', 7, 7, C]; ctx [P, ctx_dim] or None; tprime_mask [T']."""
+        P, Tp = pooled.shape[0], pooled.shape[1]
+        x = I3DTail(depth=self.depth, dtype=self.dtype, name="tail")(pooled, train)  # [P,T',7,7,1024]
+
+        # ---- classification branch ----
+        spatial = jnp.mean(x, axis=(2, 3))  # [P, T', 1024]
+        if tprime_mask is None:
+            cls_feat = jnp.mean(spatial, axis=1)
+        else:
+            w = tprime_mask.astype(spatial.dtype)
+            w = w / jnp.maximum(jnp.sum(w), EPS)
+            cls_feat = jnp.einsum("ptc,t->pc", spatial, w)
+        if ctx is not None:
+            cls_feat = jnp.concatenate([cls_feat, ctx.astype(cls_feat.dtype)], axis=-1)
+        cls_feat = nn.Dropout(self.dropout_rate, deterministic=not train)(cls_feat)
+        cls_logits = nn.Dense(self.num_cls_outputs, dtype=self.dtype, name="cls")(cls_feat)
+
+        # ---- regression branch (per-frame deltas) ----
+        reg_feat = jax.image.resize(
+            spatial, (P, self.num_frames, spatial.shape[-1]), method="linear"
+        )
+        reg_feat = nn.Dropout(self.dropout_rate, deterministic=not train)(reg_feat)
+        deltas = nn.Dense(4, dtype=self.dtype, name="reg",
+                          kernel_init=nn.initializers.normal(1e-3))(reg_feat)
+        return cls_logits.astype(jnp.float32), deltas.astype(jnp.float32)

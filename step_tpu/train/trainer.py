@@ -1,0 +1,144 @@
+"""Train state + pjit data-parallel train step.
+
+Reference parity: the optimizer/driver part of ``train.py`` (recon) —
+SGD-family optimizer with warmup schedule, per-iteration loss, checkpointing
+hooks. TPU-native: one jitted `train_step` (forward S-step scan + backward +
+optimizer update compiled together), sharded over the mesh with batch on the
+'data' axis and state replicated — XLA inserts the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+from jax.sharding import Mesh
+
+from step_tpu.config import StepConfig
+from step_tpu.models.detector import STEPDetector
+from step_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from step_tpu.train.losses import step_losses
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+
+
+def make_optimizer(cfg: StepConfig) -> optax.GradientTransformation:
+    """AdamW with linear warmup + cosine decay (the reference uses SGD with a
+    hand-stepped schedule; AdamW-cosine is the idiomatic modern default and a
+    config knob away from SGD)."""
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=cfg.learning_rate,
+        warmup_steps=cfg.warmup_steps,
+        decay_steps=max(cfg.total_steps, cfg.warmup_steps + 1),
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(10.0),
+        optax.adamw(schedule, weight_decay=cfg.weight_decay),
+    )
+
+
+def create_train_state(
+    cfg: StepConfig, rng: jax.Array, model: Optional[STEPDetector] = None
+) -> TrainState:
+    model = model or STEPDetector(cfg)
+    B, T = 1, cfg.total_frames
+    rgb = jnp.zeros((B, T, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    flow = jnp.zeros((B, T, cfg.image_size, cfg.image_size, 2), jnp.float32) if cfg.two_stream else None
+    props, _ = STEPDetector.initial_proposals(cfg, B)
+    variables = jax.jit(model.init)(rng, rgb, props, flow)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    tx = make_optimizer(cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+
+
+def train_step(state: TrainState, batch: dict, rng: jax.Array,
+               cfg: StepConfig, model: STEPDetector):
+    """One optimizer step. `batch` keys: rgb, (flow), proposals, prop_mask,
+    gt_tubes, gt_labels, gt_mask."""
+
+    dropout_rng = jax.random.fold_in(rng, state.step)
+
+    def loss_fn(params):
+        outputs, mutated = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["rgb"],
+            batch["proposals"],
+            batch.get("flow"),
+            train=True,
+            rngs={"dropout": dropout_rng},
+            mutable=["batch_stats"],
+        )
+        loss, metrics = step_losses(
+            outputs,
+            batch["gt_tubes"],
+            batch["gt_labels"],
+            batch["gt_mask"],
+            batch["prop_mask"],
+            cfg,
+        )
+        return loss, (metrics, mutated["batch_stats"])
+
+    (loss, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params
+    )
+    new_state = state.apply_gradients(grads, new_bs)
+    metrics["grad_norm"] = optax.global_norm(grads)
+    return new_state, metrics
+
+
+def make_parallel_train_step(cfg: StepConfig, model: STEPDetector, mesh: Mesh):
+    """jit `train_step` with batch sharded over 'data', state replicated.
+
+    XLA/GSPMD inserts the gradient all-reduce over ICI — the TPU-native
+    replacement for the reference's DataParallel scatter/gather.
+    """
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+
+    def _step(state, batch, rng):
+        return train_step(state, batch, rng, cfg, model)
+
+    return jax.jit(
+        _step,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def eval_forward(state: TrainState, batch: dict, cfg: StepConfig, model: STEPDetector):
+    """Inference forward (no dropout, running BN stats)."""
+    return model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch["rgb"],
+        batch["proposals"],
+        batch.get("flow"),
+        train=False,
+    )

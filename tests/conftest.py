@@ -18,3 +18,7 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+from step_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()

@@ -1,0 +1,138 @@
+"""Weight converter: torch-naming state_dict → flax trees, conv parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from step_tpu.config import StepConfig
+from step_tpu.models.convert import (
+    convert_torch_i3d,
+    inflate_rgb_to_flow,
+    load_i3d_into_detector,
+    _STEM_LAYERS,
+    _TAIL_LAYERS,
+    _torch_branch_names,
+)
+from step_tpu.models.detector import STEPDetector
+from step_tpu.models.i3d import I3DClassifier, INCEPTION_CHANNELS
+
+
+def _fake_unit(sd, prefix, cin, cout, k, rng, bias=False):
+    sd[f"{prefix}.conv3d.weight"] = rng.randn(cout, cin, *k).astype(np.float32) * 0.05
+    if bias:
+        sd[f"{prefix}.conv3d.bias"] = rng.randn(cout).astype(np.float32)
+    else:
+        sd[f"{prefix}.batch3d.weight"] = rng.rand(cout).astype(np.float32) + 0.5
+        sd[f"{prefix}.batch3d.bias"] = rng.randn(cout).astype(np.float32) * 0.1
+        sd[f"{prefix}.batch3d.running_mean"] = rng.randn(cout).astype(np.float32) * 0.1
+        sd[f"{prefix}.batch3d.running_var"] = rng.rand(cout).astype(np.float32) + 0.5
+
+
+def _fake_block(sd, name, cin, rng):
+    c = INCEPTION_CHANNELS[name]
+    names = _torch_branch_names(name)
+    _fake_unit(sd, names["b0"], cin, c[0], (1, 1, 1), rng)
+    _fake_unit(sd, names["b1a"], cin, c[1], (1, 1, 1), rng)
+    _fake_unit(sd, names["b1b"], c[1], c[2], (3, 3, 3), rng)
+    _fake_unit(sd, names["b2a"], cin, c[3], (1, 1, 1), rng)
+    _fake_unit(sd, names["b2b"], c[3], c[4], (3, 3, 3), rng)
+    _fake_unit(sd, names["b3b"], cin, c[5], (1, 1, 1), rng)
+    return sum(c[i] for i in (0, 2, 4, 5))
+
+
+def make_fake_torch_i3d(num_classes=400, seed=0):
+    """A random state_dict in the torch I3D naming, correct shapes."""
+    rng = np.random.RandomState(seed)
+    sd = {}
+    _fake_unit(sd, "Conv3d_1a_7x7", 3, 64, (7, 7, 7), rng)
+    _fake_unit(sd, "Conv3d_2b_1x1", 64, 64, (1, 1, 1), rng)
+    _fake_unit(sd, "Conv3d_2c_3x3", 64, 192, (3, 3, 3), rng)
+    cin = 192
+    for name in _STEM_LAYERS[3:] + _TAIL_LAYERS:
+        cin = _fake_block(sd, name, cin, rng)
+    sd["logits.conv3d.weight"] = rng.randn(num_classes, 1024, 1, 1, 1).astype(np.float32) * 0.01
+    sd["logits.conv3d.bias"] = np.zeros(num_classes, np.float32)
+    return sd
+
+
+def test_converted_tree_matches_classifier_init():
+    sd = make_fake_torch_i3d(num_classes=400)
+    converted = convert_torch_i3d(sd)
+    model = I3DClassifier(num_classes=400)
+    ref = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 32, 32, 3)))
+
+    ref_shapes = jax.tree_util.tree_map(jnp.shape, ref["params"])
+    got_shapes = jax.tree_util.tree_map(jnp.shape, converted["params"])
+    assert jax.tree_util.tree_structure(ref_shapes) == jax.tree_util.tree_structure(got_shapes)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_shapes), jax.tree_util.tree_leaves(got_shapes)):
+        assert a == b
+    bs_ref = jax.tree_util.tree_map(jnp.shape, ref["batch_stats"])
+    bs_got = jax.tree_util.tree_map(jnp.shape, converted["batch_stats"])
+    assert jax.tree_util.tree_structure(bs_ref) == jax.tree_util.tree_structure(bs_got)
+
+    # converted weights actually run
+    out = model.apply(converted, jnp.ones((1, 8, 32, 32, 3)))
+    assert out.shape == (1, 400)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_conv_kernel_numerics_vs_torch():
+    """Single Conv3d parity torch↔flax under the converter's transpose."""
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 4, 8, 8, 3).astype(np.float32)  # NDHWC
+    w = rng.randn(5, 3, 3, 3, 3).astype(np.float32) * 0.1  # OIDHW
+
+    with torch.no_grad():
+        conv = torch.nn.Conv3d(3, 5, 3, padding=1, bias=False)
+        conv.weight.copy_(torch.from_numpy(w))
+        xt = torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3)))  # NCDHW
+        want = conv(xt).numpy()
+    want = np.transpose(want, (0, 2, 3, 4, 1))  # → NDHWC
+
+    import flax.linen as nn
+    from step_tpu.models.convert import _conv_kernel
+
+    m = nn.Conv(5, kernel_size=(3, 3, 3), padding="SAME", use_bias=False)
+    got = m.apply({"params": {"kernel": jnp.asarray(_conv_kernel(w))}}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_inflate_rgb_to_flow():
+    k = jnp.asarray(np.random.RandomState(0).randn(7, 7, 7, 3, 64).astype(np.float32))
+    flow_k = inflate_rgb_to_flow(k, 2)
+    assert flow_k.shape == (7, 7, 7, 2, 64)
+    # responses to a constant input are preserved: sum over in-channels equal
+    np.testing.assert_allclose(
+        np.asarray(flow_k.sum(3)), np.asarray(k.sum(3)), rtol=1e-5
+    )
+
+
+def test_load_into_detector():
+    cfg = StepConfig(
+        dataset="ucf101_24", num_classes=4, frames_per_chunk=2, num_chunks=1,
+        num_steps=2, iou_thresholds=(0.4, 0.5), step_loss_weights=(1.0, 1.0),
+        temporal_extension=False, image_size=32, max_proposals=12,
+        compute_dtype="float32",
+    )
+    model = STEPDetector(cfg)
+    rgb = jnp.zeros((1, cfg.total_frames, 32, 32, 3))
+    props, _ = STEPDetector.initial_proposals(cfg, 1)
+    variables = model.init(jax.random.PRNGKey(0), rgb, props)
+
+    i3d = convert_torch_i3d(make_fake_torch_i3d(), include_logits=False)
+    loaded = load_i3d_into_detector(variables, i3d, cfg)
+
+    # stem copied
+    np.testing.assert_allclose(
+        np.asarray(loaded["params"]["features"]["stem_rgb"]["Conv3d_1a_7x7"]["conv"]["kernel"]),
+        np.asarray(i3d["params"]["stem"]["Conv3d_1a_7x7"]["conv"]["kernel"]),
+    )
+    # tail stacked per step
+    tail_k = loaded["params"]["steps"]["head"]["tail"]["Mixed_5b"]["b0"]["conv"]["kernel"]
+    assert tail_k.shape[0] == cfg.num_steps
+    np.testing.assert_allclose(np.asarray(tail_k[0]), np.asarray(tail_k[1]))
+    # loaded tree still runs
+    out = model.apply(loaded, rgb, props)
+    assert np.isfinite(np.asarray(out["cls_logits"])).all()

@@ -1,0 +1,197 @@
+"""Dataset loaders against generated on-disk fixtures (UCF pkl / AVA csv)."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from step_tpu.config import StepConfig
+from step_tpu.data.augmentations import TubeAugment, TubeAugmentConfig, resize_clip
+from step_tpu.data.ava import AVADataset, read_ava_csv
+from step_tpu.data.loader import DataLoader, collate
+from step_tpu.data.ucf import UCFDataset
+
+CFG = StepConfig(
+    dataset="ucf101_24",
+    num_classes=3,
+    frames_per_chunk=2,
+    num_chunks=3,
+    num_steps=3,
+    temporal_extension=True,
+    image_size=32,
+    backbone_depth="tiny",
+    feature_stride=8,
+    pooled_size=4,
+    max_proposals=14,
+    max_gt_tubes=3,
+    batch_size=2,
+    gt_jitter_proposals=2,
+)
+
+
+def _write_jpg(path, arr):
+    import cv2
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    cv2.imwrite(path, cv2.cvtColor((arr * 255).astype(np.uint8), cv2.COLOR_RGB2BGR))
+
+
+@pytest.fixture(scope="module")
+def ucf_root(tmp_path_factory):
+    """Two tiny videos in the standard UCF101-24 layout."""
+    root = str(tmp_path_factory.mktemp("ucf"))
+    rng = np.random.RandomState(0)
+    nframes = {"Run/v1": 10, "Jump/v2": 8}
+    gttubes = {}
+    H, W = 48, 64
+    for video, n in nframes.items():
+        for f in range(n):
+            _write_jpg(
+                os.path.join(root, "rgb-images", video, f"{f + 1:05d}.jpg"),
+                rng.rand(H, W, 3) * 0.5,
+            )
+            _write_jpg(
+                os.path.join(root, "brox-images", video, f"{f + 1:05d}.jpg"),
+                rng.rand(H, W, 3) * 0.5,
+            )
+        # one GT tube spanning all frames, moving right
+        frames = np.arange(1, n + 1, dtype=np.float32)
+        x1 = 5 + frames
+        tube = np.stack([frames, x1, np.full_like(x1, 10), x1 + 15, np.full_like(x1, 30)], -1)
+        cls = 0 if video.startswith("Run") else 1
+        gttubes[video] = {cls: [tube]}
+    gt = {
+        "labels": ["Run", "Jump", "Wave"],
+        "train_videos": [["Run/v1"]],
+        "test_videos": [["Jump/v2"]],
+        "nframes": nframes,
+        "gttubes": gttubes,
+        "resolution": {v: (H, W) for v in nframes},
+    }
+    with open(os.path.join(root, "UCF101v2-GT.pkl"), "wb") as f:
+        pickle.dump(gt, f)
+    return root
+
+
+def test_ucf_dataset_basic(ucf_root):
+    ds = UCFDataset(ucf_root, CFG, split="train")
+    assert len(ds) > 0
+    item = ds[0]
+    T = CFG.total_frames
+    assert item["rgb"].shape == (T, 32, 32, 3)
+    assert item["gt_tubes"].shape == (CFG.max_gt_tubes, T, 4)
+    assert item["gt_mask"].sum() == 1
+    assert item["gt_labels"][0] == 0
+    assert 0 <= item["rgb"].min() and item["rgb"].max() <= 1
+    # GT scaled into the model resolution
+    assert item["gt_tubes"][0].max() <= 32
+
+
+def test_ucf_dataset_flow_and_split(ucf_root):
+    ds = UCFDataset(ucf_root, CFG, split="test", with_flow=True)
+    item = ds[0]
+    assert item["flow"].shape == (CFG.total_frames, 32, 32, 2)
+    assert item["flow"].min() >= -1.01 and item["flow"].max() <= 1.01
+    assert item["gt_labels"][0] == 1  # Jump
+
+
+def test_ucf_edge_clamping(ucf_root):
+    ds = UCFDataset(ucf_root, CFG, split="train")
+    idx = ds.clip_frame_indices("Run/v1", 0)  # center at first frame
+    assert idx.min() == 0 and idx.max() < 10
+    assert len(idx) == CFG.total_frames
+
+
+def test_ucf_video_groundtruth(ucf_root):
+    ds = UCFDataset(ucf_root, CFG, split="train")
+    frame_gt, tube_gt = ds.video_groundtruth()
+    assert len(tube_gt) == 1
+    assert len(frame_gt) == 10
+
+
+def test_dataloader_batches(ucf_root):
+    ds = UCFDataset(ucf_root, CFG, split="train")
+    dl = DataLoader(ds, CFG, batch_size=2, train=True, num_workers=1)
+    batches = list(dl.epoch(0))
+    assert len(batches) == len(ds) // 2
+    b = batches[0]
+    assert b["rgb"].shape == (2, CFG.total_frames, 32, 32, 3)
+    assert b["proposals"].shape == (2, CFG.max_proposals, CFG.total_frames, 4)
+    assert len(b["meta"]) == 2
+    # deterministic across epochs with same seed
+    b2 = next(iter(DataLoader(ds, CFG, batch_size=2, train=True, num_workers=1).epoch(0)))
+    np.testing.assert_allclose(b["rgb"], b2["rgb"])
+
+
+@pytest.fixture(scope="module")
+def ava_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ava"))
+    rng = np.random.RandomState(1)
+    video, fps = "vidA", 5
+    for fn in range(1, 40):
+        _write_jpg(
+            os.path.join(root, "frames", video, f"{video}_{fn:06d}.jpg"),
+            rng.rand(40, 56, 3) * 0.5,
+        )
+    rows = [
+        # person 1 with two actions at t=3
+        f"{video},3,0.1,0.2,0.5,0.9,1,1",
+        f"{video},3,0.1,0.2,0.5,0.9,4,1",
+        # person 2 with one action
+        f"{video},3,0.6,0.1,0.9,0.7,2,2",
+        # another keyframe
+        f"{video},5,0.2,0.2,0.4,0.8,3,1",
+    ]
+    with open(os.path.join(root, "ava_train.csv"), "w") as f:
+        f.write("\n".join(rows))
+    return root
+
+
+def test_read_ava_csv(ava_root):
+    ann = read_ava_csv(os.path.join(ava_root, "ava_train.csv"))
+    assert ("vidA", 3.0) in ann and ("vidA", 5.0) in ann
+    assert len(ann[("vidA", 3.0)]) == 3
+
+
+def test_ava_dataset_multihot(ava_root):
+    cfg = CFG.replace(dataset="ava", num_classes=6, multilabel=True)
+    ds = AVADataset(ava_root, cfg, "ava_train.csv", fps=5)
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["rgb"].shape == (cfg.total_frames, 32, 32, 3)
+    assert item["gt_labels"].shape == (cfg.max_gt_tubes, 6)
+    # person 1: actions 1&4 (1-based) → classes 0 and 3 multi-hot
+    assert item["gt_mask"].sum() == 2
+    p1 = item["gt_labels"][0]
+    assert p1[0] == 1.0 and p1[3] == 1.0 and p1.sum() == 2.0
+
+
+def test_ava_excluded_keyframes(ava_root):
+    cfg = CFG.replace(dataset="ava", num_classes=6, multilabel=True)
+    ds = AVADataset(ava_root, cfg, "ava_train.csv", fps=5,
+                    excluded_keyframes={("vidA", 5.0)})
+    assert len(ds) == 1
+
+
+def test_augmentations_keep_tubes_consistent():
+    rng = np.random.RandomState(0)
+    T, H, W = 4, 40, 60
+    frames = rng.rand(T, H, W, 3).astype(np.float32)
+    tubes = np.tile(np.asarray([10, 10, 30, 30], np.float32), (2, T, 1))
+    mask = np.asarray([1.0, 0.0])
+    aug = TubeAugment(TubeAugmentConfig(hflip_prob=1.0, photometric_prob=1.0,
+                                        expand_prob=1.0, crop_prob=1.0))
+    out_f, out_t, out_m = aug(frames, tubes, mask, rng)
+    assert out_f.ndim == 4 and out_f.shape[0] == T
+    assert out_t.shape == tubes.shape
+    assert np.isfinite(out_t).all()
+    assert out_f.min() >= 0 and out_f.max() <= 1
+
+
+def test_resize_clip_scales_boxes():
+    frames = np.zeros((2, 40, 80, 3), np.float32)
+    tubes = np.asarray([[[8, 4, 16, 8], [8, 4, 16, 8]]], np.float32)
+    out_f, out_t = resize_clip(frames, tubes, 32)
+    assert out_f.shape == (2, 32, 32, 3)
+    np.testing.assert_allclose(out_t[0, 0], [8 * 0.4, 4 * 0.8, 16 * 0.4, 8 * 0.8])

@@ -1,0 +1,102 @@
+"""Evaluator tests with hand-computable cases."""
+
+import numpy as np
+
+from step_tpu.eval.detection_metrics import (
+    average_precision,
+    frame_map,
+    video_map,
+    video_map_range,
+    spatio_temporal_iou,
+)
+from step_tpu.eval.ava_eval import ava_frame_map, parse_ava_csv_rows
+
+BOX = [10, 10, 50, 50]
+OFF = [100, 100, 140, 140]  # disjoint from BOX
+
+
+def test_average_precision_perfect():
+    scores = np.asarray([0.9, 0.8, 0.7])
+    tp = np.asarray([True, True, True])
+    assert average_precision(scores, tp, 3) == 1.0
+
+
+def test_average_precision_half():
+    # 1 TP then 1 FP, 2 GT total → AP = 0.5 (recall tops at 0.5, precision 1)
+    scores = np.asarray([0.9, 0.8])
+    tp = np.asarray([True, False])
+    assert average_precision(scores, tp, 2) == 0.5
+
+
+def test_average_precision_no_gt_is_nan():
+    assert np.isnan(average_precision(np.asarray([0.5]), np.asarray([False]), 0))
+
+
+def test_frame_map_perfect():
+    gt = [("f0", 0, BOX), ("f1", 0, OFF)]
+    det = [("f0", 0, 0.9, BOX), ("f1", 0, 0.8, OFF)]
+    out = frame_map(det, gt, num_classes=2)
+    assert out["mAP"] == 1.0
+
+
+def test_frame_map_duplicate_detection_is_fp():
+    gt = [("f0", 0, BOX)]
+    det = [("f0", 0, 0.9, BOX), ("f0", 0, 0.8, BOX)]  # duplicate on same GT
+    out = frame_map(det, gt, num_classes=1)
+    assert out["mAP"] == 1.0  # dup is FP but comes after the TP at recall 1
+    det_rev = [("f0", 0, 0.8, BOX), ("f0", 0, 0.9, [11, 11, 49, 49])]
+    out2 = frame_map(det_rev, gt, num_classes=1)
+    # higher-scored near-identical box takes the GT; lower is FP
+    assert 0.4 < out2["mAP"] <= 1.0
+
+
+def test_frame_map_wrong_class_no_credit():
+    gt = [("f0", 0, BOX)]
+    det = [("f0", 1, 0.9, BOX)]
+    out = frame_map(det, gt, num_classes=2)
+    assert out["mAP"] == 0.0
+
+
+def test_spatio_temporal_iou():
+    a = {t: np.asarray(BOX, np.float32) for t in range(10)}
+    b = {t: np.asarray(BOX, np.float32) for t in range(5, 15)}
+    # temporal IoU = 5/15, spatial IoU = 1 on shared frames
+    assert abs(spatio_temporal_iou(a, b) - 5 / 15) < 1e-6
+    c = {t: np.asarray(OFF, np.float32) for t in range(10)}
+    assert spatio_temporal_iou(a, c) == 0.0
+
+
+def test_video_map_and_range():
+    gt = [("v0", 0, {t: np.asarray(BOX) for t in range(10)})]
+    pred = [("v0", 0, 0.9, {t: np.asarray(BOX) for t in range(10)})]
+    assert video_map(pred, gt, 1, 0.5)["mAP"] == 1.0
+    assert video_map_range(pred, gt, 1) == 1.0
+    # half-overlapping tube: ST-IoU ≈ 0.33 → fails at 0.5, passes at 0.2
+    pred2 = [("v0", 0, 0.9, {t: np.asarray(BOX) for t in range(5, 15)})]
+    assert video_map(pred2, gt, 1, 0.5)["mAP"] == 0.0
+    assert video_map(pred2, gt, 1, 0.2)["mAP"] == 1.0
+
+
+def test_ava_frame_map_multilabel_and_exclusions():
+    key0, key1 = ("v", 902.0), ("v", 903.0)
+    gt = [(key0, 0, BOX), (key0, 3, BOX), (key1, 0, OFF)]  # one box, two labels
+    det = [
+        (key0, 0, 0.9, BOX),
+        (key0, 3, 0.8, BOX),
+        (key1, 0, 0.7, OFF),
+    ]
+    out = ava_frame_map(det, gt, num_classes=4)
+    assert out["mAP"] == 1.0
+    out_ex = ava_frame_map(det, gt, num_classes=4, excluded_keyframes=[key1])
+    assert out_ex["mAP"] == 1.0
+    assert out_ex["num_gt"][0] == 1  # key1 GT excluded
+
+
+def test_parse_ava_csv_rows():
+    rows = [("vid1", "902", "0.1", "0.2", "0.4", "0.9", "7", "0.88")]
+    dets = parse_ava_csv_rows(rows, with_scores=True)
+    assert dets[0][0] == ("vid1", 902.0)
+    assert dets[0][1] == 6  # 1-based → 0-based
+    assert dets[0][2] == 0.88
+    gts = parse_ava_csv_rows([r[:7] for r in rows], with_scores=False)
+    assert gts[0][1] == 6

@@ -1,0 +1,152 @@
+"""Losses, matching, synthetic data, and an end-to-end overfit smoke test."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from step_tpu.config import StepConfig
+from step_tpu.data.pipeline import build_model_batch, jitter_gt_proposals
+from step_tpu.data.synthetic import SyntheticConfig, make_batch
+from step_tpu.models.detector import STEPDetector
+from step_tpu.train.losses import match_tubes, smooth_l1, step_losses
+from step_tpu.train.trainer import create_train_state, train_step
+
+CFG = StepConfig(
+    dataset="synthetic",
+    num_classes=4,
+    frames_per_chunk=4,
+    num_chunks=1,
+    num_steps=2,
+    iou_thresholds=(0.4, 0.5),
+    step_loss_weights=(1.0, 1.0),
+    temporal_extension=False,
+    image_size=32,
+    backbone_depth="tiny",
+    feature_stride=8,
+    pooled_size=4,
+    max_proposals=14,
+    max_gt_tubes=2,
+    compute_dtype="float32",
+    batch_size=2,
+    gt_jitter_proposals=3,
+    warmup_steps=2,
+    total_steps=50,
+    learning_rate=2e-3,
+)
+
+SYN = SyntheticConfig(image_size=32, num_frames=4, num_classes=4, max_boxes=2)
+
+
+def test_smooth_l1():
+    x = jnp.asarray([-2.0, -0.5, 0.0, 0.5, 2.0])
+    np.testing.assert_allclose(smooth_l1(x), [1.5, 0.125, 0.0, 0.125, 1.5])
+
+
+def test_match_tubes():
+    T = 4
+    props = jnp.asarray(
+        np.stack(
+            [
+                np.tile([[0, 0, 10, 10]], (T, 1)),
+                np.tile([[0, 0, 9, 10]], (T, 1)),
+                np.tile([[50, 50, 60, 60]], (T, 1)),
+            ]
+        ),
+        jnp.float32,
+    )
+    gt = jnp.asarray(np.tile([[0, 0, 10, 10]], (1, T, 1)), jnp.float32)
+    gt_mask = jnp.asarray([1.0])
+    fmask = jnp.ones((T,))
+    best_gt, best_iou, pos = match_tubes(props, gt, gt_mask, fmask, 0.5)
+    np.testing.assert_array_equal(np.asarray(pos), [1.0, 1.0, 0.0])
+    assert float(best_iou[0]) == pytest.approx(1.0)
+
+
+def test_match_tubes_padded_gt_never_matches():
+    T = 2
+    props = jnp.asarray(np.tile([[0, 0, 10, 10]], (1, T, 1)), jnp.float32)
+    gt = jnp.asarray(np.tile([[0, 0, 10, 10]], (2, T, 1)), jnp.float32)
+    gt_mask = jnp.asarray([0.0, 0.0])  # all GT padded
+    _, best_iou, pos = match_tubes(props, gt, gt_mask, jnp.ones((T,)), 0.5)
+    assert float(pos.sum()) == 0.0
+
+
+def test_synthetic_determinism_and_gt_consistency():
+    a = make_batch(0, 2, SYN)
+    b = make_batch(0, 2, SYN)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+    assert a["rgb"].shape == (2, 4, 32, 32, 3)
+    assert a["rgb"].min() >= 0 and a["rgb"].max() <= 1
+    # GT tubes inside the image
+    valid = a["gt_mask"] > 0
+    assert a["gt_tubes"][valid].min() >= -1e-3
+    assert a["gt_tubes"][valid].max() <= 32 + 1e-3
+
+
+def test_jitter_gt_proposals():
+    rng = np.random.RandomState(0)
+    T = 4
+    gt = np.tile(np.asarray([[5, 5, 20, 20]], np.float32)[:, None], (1, T, 1))
+    jt, jm = jitter_gt_proposals(gt, np.asarray([1.0]), 3, 32.0, rng)
+    assert jm.sum() == 3
+    # jittered tubes near the GT
+    assert np.abs(jt - gt).max() < 8.0
+    # no valid GT → nothing
+    jt2, jm2 = jitter_gt_proposals(gt, np.asarray([0.0]), 3, 32.0, rng)
+    assert jm2.sum() == 0
+
+
+def test_build_model_batch_shapes():
+    raw = make_batch(0, 2, SYN)
+    batch = build_model_batch(raw, CFG, train=True, seed=0)
+    P, T = CFG.max_proposals, CFG.total_frames
+    assert batch["proposals"].shape == (2, P, T, 4)
+    assert batch["prop_mask"].shape == (2, P)
+    assert batch["prop_mask"].sum() >= 11 * 2  # cuboids + jitters
+    assert batch["gt_labels"].dtype == np.int32
+
+
+@pytest.fixture(scope="module")
+def state_and_model():
+    model = STEPDetector(CFG)
+    state = create_train_state(CFG, jax.random.PRNGKey(0), model)
+    return state, model
+
+
+def test_loss_finite_and_positive(state_and_model):
+    state, model = state_and_model
+    raw = make_batch(0, CFG.batch_size, SYN)
+    batch = build_model_batch(raw, CFG, train=True, seed=0)
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+    outputs = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch["rgb"], batch["proposals"], train=False,
+    )
+    loss, metrics = step_losses(
+        outputs, batch["gt_tubes"], batch["gt_labels"], batch["gt_mask"],
+        batch["prop_mask"], CFG,
+    )
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    assert metrics["cls_loss_per_step"].shape == (CFG.num_steps,)
+
+
+def test_train_overfits_synthetic(state_and_model):
+    """End-to-end: a few optimizer steps on one fixed batch must reduce loss."""
+    state, model = state_and_model
+    raw = make_batch(0, CFG.batch_size, SYN)
+    batch = build_model_batch(raw, CFG, train=True, seed=0)
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+
+    fast_step = jax.jit(
+        lambda s, b, r: train_step(s, b, r, CFG, model)
+    )
+    rng = jax.random.PRNGKey(42)
+    losses = []
+    for i in range(8):
+        state, metrics = fast_step(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+    assert float(metrics["grad_norm"]) > 0
