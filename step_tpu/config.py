@@ -43,6 +43,9 @@ class StepConfig:
     max_proposals: int = 16             # static padded proposal capacity (>= num_proposals)
     pooled_size: int = 7                # ROI-align output grid (7x7)
     sampling_ratio: int = 2             # bilinear samples per pooled bin per axis
+    roi_impl: str = "matmul"            # "matmul" (XLA MXU contraction, default)
+                                        # | "pallas" (Pallas kernel)
+                                        # | "gather" (scalar-semantics reference)
     temporal_extension: bool = True     # step>=2 extends tubes into neighbor chunks
     # Per-step proposal↔GT IoU matching thresholds (cascade-style increase).
     iou_thresholds: Tuple[float, ...] = (0.5, 0.6, 0.7)

@@ -63,11 +63,20 @@ class _StepBody(nn.Module):
         tpmask = jnp.take(fmask, t_idx)     # [T'] — feature slices active now
 
         # Tube-of-interest pooling on the shared feature map.
-        pooled = jax.vmap(
-            lambda f, tb: tube_roi_align(
-                f, tb, cfg.pooled_size, 1.0 / cfg.feature_stride, cfg.sampling_ratio
-            )
-        )(feat, tubes)                      # [B, P, T', 7, 7, C]
+        if cfg.roi_impl == "pallas":
+            from step_tpu.ops.roi_align_pallas import tube_roi_align_pallas
+
+            pooled = tube_roi_align_pallas(
+                feat, tubes, cfg.pooled_size, 1.0 / cfg.feature_stride,
+                cfg.sampling_ratio,
+            )                               # [B, P, T', 7, 7, C]
+        else:
+            pooled = jax.vmap(
+                lambda f, tb: tube_roi_align(
+                    f, tb, cfg.pooled_size, 1.0 / cfg.feature_stride,
+                    cfg.sampling_ratio, impl=cfg.roi_impl,
+                )
+            )(feat, tubes)                  # [B, P, T', 7, 7, C]
         pooled = pooled.reshape(B * P, Tp, cfg.pooled_size, cfg.pooled_size, -1)
 
         ctx_flat = None

@@ -1,0 +1,74 @@
+"""Pallas TPU kernel: fused inference-mode BatchNorm + ReLU.
+
+North-star parity artifact ("I3D-style 3D-conv backbone lowered to XLA
+convolutions with Pallas-fused BN+ReLU"): at inference, BN is an affine
+y = x * scale + bias with
+    scale = gamma / sqrt(running_var + eps)
+    bias  = beta - running_mean * scale
+fused with the ReLU into one VMEM pass. One elementwise kernel tiled over
+the flattened leading axes; channels stay on lanes.
+
+Training mode keeps flax BatchNorm (it must update running stats); the
+detector only routes through this kernel when running inference.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, scale_ref, bias_ref, out_ref):
+    x = x_ref[...].astype(jnp.float32)
+    y = x * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(jnp.float32)
+    out_ref[...] = jnp.maximum(y, 0.0).astype(out_ref.dtype)
+
+
+def fused_scale_bias_relu(
+    x: jnp.ndarray,       # [..., C]
+    scale: jnp.ndarray,   # [C]
+    bias: jnp.ndarray,    # [C]
+    block_rows: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """max(x * scale + bias, 0), fused in one Pallas pass."""
+    orig_shape = x.shape
+    C = orig_shape[-1]
+    rows = 1
+    for d in orig_shape[:-1]:
+        rows *= d
+    x2 = x.reshape(rows, C)
+    bs = min(block_rows, rows)
+    grid = (pl.cdiv(rows, bs),)
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bs, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bs, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, C), x.dtype),
+        interpret=interpret,
+    )(x2, scale, bias)
+    return out.reshape(orig_shape)
+
+
+def bn_relu_inference(
+    x: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    mean: jnp.ndarray,
+    var: jnp.ndarray,
+    eps: float = 1e-3,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Inference BN + ReLU from raw BN parameters, via the fused kernel."""
+    scale = gamma * jax.lax.rsqrt(var + eps)
+    bias = beta - mean * scale
+    return fused_scale_bias_relu(x, scale, bias, interpret=interpret)

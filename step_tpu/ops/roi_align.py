@@ -108,6 +108,68 @@ def roi_align(
     return out.astype(dtype)
 
 
+def interp_matrix(
+    coords: jnp.ndarray,  # [..., P, S] sample coordinates along one axis
+    limit: int,           # H or W
+) -> jnp.ndarray:
+    """Bilinear-interpolation matrix: [..., P, limit] row weights.
+
+    The Detectron bilinear sample at clamped coordinate c is exactly the hat
+    function (1 - |c - h|)+ over grid points h — so summing the S sample
+    hats per bin yields a matrix A with  pooled = A @ feature  along that
+    axis. Out-of-range samples (c < -1 or c > limit) contribute zero.
+    """
+    ok = (coords >= -1.0) & (coords <= limit)
+    c = jnp.clip(coords, 0.0, limit - 1.0)
+    grid = jnp.arange(limit, dtype=coords.dtype)
+    hat = jnp.maximum(1.0 - jnp.abs(c[..., None] - grid), 0.0)  # [..., P, S, limit]
+    hat = hat * ok[..., None].astype(coords.dtype)
+    return jnp.sum(hat, axis=-2)  # [..., P, limit]
+
+
+def roi_sample_coords(boxes: jnp.ndarray, pooled: int, scale: float, ratio: int):
+    """Per-axis sample coordinates for boxes [..., 4] → (ys, xs) each
+    [..., pooled, ratio] in feature coordinates."""
+    b = boxes.astype(jnp.float32) * scale
+    x1, y1 = b[..., 0], b[..., 1]
+    roi_w = jnp.maximum(b[..., 2] - x1, 1.0)
+    roi_h = jnp.maximum(b[..., 3] - y1, 1.0)
+    off = (
+        jnp.arange(pooled, dtype=jnp.float32)[:, None]
+        + (jnp.arange(ratio, dtype=jnp.float32)[None, :] + 0.5) / ratio
+    )  # [pooled, ratio]
+    ys = y1[..., None, None] + off * (roi_h / pooled)[..., None, None]
+    xs = x1[..., None, None] + off * (roi_w / pooled)[..., None, None]
+    return ys, xs
+
+
+def roi_align_matmul(
+    features: jnp.ndarray,
+    boxes: jnp.ndarray,
+    pooled_size: int = 7,
+    spatial_scale: float = 1.0 / 16.0,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """ROI align as two interpolation matmuls (TPU-native formulation).
+
+    Numerically identical to `roi_align` (same Detectron semantics — the
+    parity tests enforce it) but contraction-shaped: the bilinear gather
+    becomes `A_y @ feat @ A_xᵀ`, which XLA tiles onto the MXU with no
+    gathers. Preferred on TPU; `roi_align` remains the scalar-semantics
+    reference.
+
+    features [H, W, C]; boxes [N, 4] → [N, pooled, pooled, C].
+    """
+    H, W, C = features.shape
+    ys, xs = roi_sample_coords(boxes, pooled_size, spatial_scale, sampling_ratio)
+    Ay = interp_matrix(ys, H)                      # [N, P, H]
+    Ax = interp_matrix(xs, W)                      # [N, P, W]
+    f32 = features.astype(jnp.float32)
+    tmp = jnp.einsum("nph,hwc->npwc", Ay, f32)     # contract H
+    out = jnp.einsum("nqw,npwc->npqc", Ax, tmp)    # contract W
+    return (out / (sampling_ratio * sampling_ratio)).astype(features.dtype)
+
+
 def tube_roi_align(
     features: jnp.ndarray,
     tubes: jnp.ndarray,
@@ -115,6 +177,7 @@ def tube_roi_align(
     spatial_scale: float = 1.0 / 16.0,
     sampling_ratio: int = 2,
     time_indices: jnp.ndarray | None = None,
+    impl: str = "matmul",
 ) -> jnp.ndarray:
     """Tube-of-interest pooling: per-frame ROI align stacked over time.
 
@@ -139,9 +202,10 @@ def tube_roi_align(
             # Feature slice t' covers input frames [t'*T/Tp, (t'+1)*T/Tp); use center.
             time_indices = ((jnp.arange(Tp) + 0.5) * (T / Tp)).astype(jnp.int32)
     boxes_per_slice = jnp.take(tubes, time_indices, axis=1)  # [N, T', 4]
+    align = roi_align_matmul if impl == "matmul" else roi_align
 
     def pool_slice(feat_t, boxes_t):
-        return roi_align(feat_t, boxes_t, pooled_size, spatial_scale, sampling_ratio)
+        return align(feat_t, boxes_t, pooled_size, spatial_scale, sampling_ratio)
 
     out = jax.vmap(pool_slice, in_axes=(0, 1), out_axes=1)(features, boxes_per_slice)
     return out  # [N, T', P, P, C]
