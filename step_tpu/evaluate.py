@@ -1,0 +1,186 @@
+"""Evaluation driver: run detection over a dataset, compute mAPs, dump
+detections.
+
+Reference parity: ``test.py`` (recon) — load checkpoint, slide over val
+clips, forward + per-class NMS, store detections keyed by (video, frame),
+link across clips for video-mAP, invoke the evaluators, dump a detections
+file. Here the forward+NMS is one compiled program per batch; collection
+and mAP run host-side like the reference's evaluator.
+"""
+
+from __future__ import annotations
+
+import pickle
+from collections import defaultdict
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from step_tpu.config import StepConfig
+from step_tpu.eval.ava_eval import ava_frame_map
+from step_tpu.eval.detection_metrics import frame_map, video_map, video_map_range
+from step_tpu.inference import detect_clip
+from step_tpu.models.detector import STEPDetector
+
+
+def collect_detections(
+    variables,
+    dataset,
+    cfg: StepConfig,
+    model: Optional[STEPDetector] = None,
+    batch_size: int = 8,
+    max_batches: Optional[int] = None,
+    image_scale_to_gt: bool = True,
+):
+    """Run detection over `dataset` → list of (frame_key, cls, score, box).
+
+    frame_key is (video, frame_number 1-based) for UCF-style datasets, or
+    (video, timestamp) for AVA. Boxes are mapped back to the dataset's
+    native resolution when the dataset exposes `resolution` (UCF pkl).
+    """
+    model = model or STEPDetector(cfg)
+    from step_tpu.data.loader import DataLoader
+
+    loader = DataLoader(dataset, cfg, batch_size=batch_size, shuffle=False,
+                        train=False, drop_last=False, num_workers=2)
+
+    @jax.jit
+    def detect(variables, rgb, proposals, prop_mask):
+        return detect_clip(variables, rgb, proposals, prop_mask, cfg, model)
+
+    detections = []
+    for bi, batch in enumerate(loader.epoch(0)):
+        if max_batches is not None and bi >= max_batches:
+            break
+        out = detect(
+            variables,
+            jnp.asarray(batch["rgb"]),
+            jnp.asarray(batch["proposals"]),
+            jnp.asarray(batch["prop_mask"]),
+        )
+        boxes = np.asarray(out["frame_boxes"])   # [B, T, C, K, 4]
+        scores = np.asarray(out["frame_scores"])  # [B, T, C, K]
+        mask = np.asarray(out["frame_mask"])
+        for b, meta in enumerate(batch["meta"]):
+            video = meta.get("video")
+            frame_idx = meta.get("frame_indices")
+            sx = sy = 1.0
+            if image_scale_to_gt and hasattr(dataset, "resolution"):
+                H, W = dataset.resolution.get(video, (cfg.image_size, cfg.image_size))
+                sx, sy = W / cfg.image_size, H / cfg.image_size
+            for t in range(boxes.shape[1]):
+                if frame_idx is not None:
+                    fkey = (video, int(frame_idx[t]) + 1)  # 1-based like GT
+                else:
+                    fkey = (video, meta.get("timestamp", t))
+                for c in range(boxes.shape[2]):
+                    for k in range(boxes.shape[3]):
+                        if mask[b, t, c, k] > 0 and scores[b, t, c, k] > cfg.score_thresh:
+                            x1, y1, x2, y2 = boxes[b, t, c, k]
+                            detections.append(
+                                (fkey, c, float(scores[b, t, c, k]),
+                                 np.asarray([x1 * sx, y1 * sy, x2 * sx, y2 * sy],
+                                            np.float32))
+                            )
+    return detections
+
+
+def dedupe_frame_detections(detections):
+    """Sliding clips revisit frames; keep each (key, cls, box-ish) once by
+    max score. The reference dedupes by writing per-frame dicts the same way."""
+    best = {}
+    for fkey, c, s, box in detections:
+        k = (fkey, c, tuple(np.round(box, 1)))
+        if k not in best or best[k][2] < s:
+            best[k] = (fkey, c, s, box)
+    return list(best.values())
+
+
+def evaluate_ucf(
+    variables,
+    dataset,
+    cfg: StepConfig,
+    model: Optional[STEPDetector] = None,
+    dump_path: Optional[str] = None,
+    max_batches: Optional[int] = None,
+):
+    """UCF101-24-style eval: frame-mAP@0.5 + video-mAP over linked tubes."""
+    detections = dedupe_frame_detections(
+        collect_detections(variables, dataset, cfg, model, max_batches=max_batches)
+    )
+    frame_gt, tube_gt = dataset.video_groundtruth()
+    if dump_path:
+        with open(dump_path, "wb") as f:
+            pickle.dump({"detections": detections}, f)
+
+    results = {"frame_mAP@0.5": frame_map(detections, frame_gt, cfg.num_classes, 0.5)["mAP"]}
+
+    # Build video tubes per (video, class) by linking per-frame detections
+    # greedily over time (host-side assembly of the on-device outputs).
+    by_vc = defaultdict(dict)
+    for fkey, c, s, box in detections:
+        video, frame = fkey
+        cur = by_vc[(video, c)]
+        if frame not in cur or cur[frame][0] < s:
+            cur[frame] = (s, box)
+    pred_tubes = []
+    for (video, c), frames in by_vc.items():
+        tube = {f: box for f, (s, box) in frames.items()}
+        score = float(np.mean([s for s, _ in frames.values()]))
+        pred_tubes.append((video, c, score, tube))
+    for thresh in (0.2, 0.5):
+        results[f"video_mAP@{thresh}"] = video_map(
+            pred_tubes, tube_gt, cfg.num_classes, thresh
+        )["mAP"]
+    results["video_mAP@0.5:0.95"] = video_map_range(pred_tubes, tube_gt, cfg.num_classes)
+    return results
+
+
+def evaluate_ava(
+    variables,
+    dataset,
+    cfg: StepConfig,
+    model: Optional[STEPDetector] = None,
+    dump_path: Optional[str] = None,
+    max_batches: Optional[int] = None,
+):
+    """AVA-style eval: keyframe frame-mAP@0.5 (normalized coords)."""
+    model = model or STEPDetector(cfg)
+    from step_tpu.data.loader import DataLoader
+
+    loader = DataLoader(dataset, cfg, batch_size=4, shuffle=False, train=False,
+                        drop_last=False, num_workers=2)
+
+    @jax.jit
+    def detect(variables, rgb, proposals, prop_mask):
+        return detect_clip(variables, rgb, proposals, prop_mask, cfg, model)
+
+    detections = []
+    for bi, batch in enumerate(loader.epoch(0)):
+        if max_batches is not None and bi >= max_batches:
+            break
+        out = detect(
+            variables,
+            jnp.asarray(batch["rgb"]),
+            jnp.asarray(batch["proposals"]),
+            jnp.asarray(batch["prop_mask"]),
+        )
+        # keyframe = central frame; tube score applies to its box
+        T = cfg.total_frames
+        tubes = np.asarray(out["tubes"])[:, :, T // 2]      # [B, P, 4]
+        tscores = np.asarray(out["tube_scores"])            # [B, P, C]
+        for b, meta in enumerate(batch["meta"]):
+            key = (meta["video"], meta["timestamp"])
+            for p in range(tubes.shape[1]):
+                box = tubes[b, p] / cfg.image_size           # normalized
+                for c in range(tscores.shape[2]):
+                    s = tscores[b, p, c]
+                    if s > cfg.score_thresh:
+                        detections.append((key, c, float(s), box))
+    if dump_path:
+        with open(dump_path, "wb") as f:
+            pickle.dump({"detections": detections}, f)
+    gt = dataset.groundtruth()
+    return {"frame_mAP@0.5": ava_frame_map(detections, gt, cfg.num_classes)["mAP"]}

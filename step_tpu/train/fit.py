@@ -1,0 +1,125 @@
+"""Epoch-level training driver.
+
+Reference parity: the epoch/iteration loop of ``train.py`` (recon): iterate
+the loader, step the optimizer, print/log per-step losses, checkpoint every
+N steps, support --resume. TPU-native: one jitted sharded train step; host
+threads prefetch/augment the next batch while the device runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from step_tpu.config import StepConfig
+from step_tpu.models.detector import STEPDetector
+from step_tpu.parallel.mesh import create_mesh, replicated_sharding, shard_batch
+from step_tpu.train.trainer import create_train_state, make_parallel_train_step
+from step_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+_BATCH_KEYS = ("rgb", "flow", "proposals", "prop_mask", "gt_tubes", "gt_labels", "gt_mask")
+
+
+class MetricsLogger:
+    """Console + JSONL metrics (reference: console prints + tensorboardX)."""
+
+    def __init__(self, log_dir: Optional[str] = None, print_every: int = 20):
+        self.print_every = print_every
+        self.jsonl = None
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+            self.jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+
+    def log(self, step: int, metrics: dict, extra: Optional[dict] = None):
+        record = {"step": step}
+        for k, v in metrics.items():
+            arr = np.asarray(v)
+            record[k] = arr.tolist() if arr.ndim else float(arr)
+        if extra:
+            record.update(extra)
+        if self.jsonl:
+            self.jsonl.write(json.dumps(record) + "\n")
+            self.jsonl.flush()
+        if step % self.print_every == 0:
+            loss = record.get("loss", float("nan"))
+            cps = record.get("clips_per_sec", 0.0)
+            print(f"step {step}: loss={loss:.4f} clips/s={cps:.1f}", flush=True)
+
+    def close(self):
+        if self.jsonl:
+            self.jsonl.close()
+
+
+def fit(
+    cfg: StepConfig,
+    loader,
+    num_epochs: int = 1,
+    ckpt_dir: Optional[str] = None,
+    log_dir: Optional[str] = None,
+    resume: bool = False,
+    ckpt_every: int = 500,
+    mesh=None,
+    model: Optional[STEPDetector] = None,
+    eval_fn: Optional[Callable] = None,
+    eval_every_epochs: int = 1,
+    seed: int = 0,
+):
+    """Train `cfg` on `loader` (a DataLoader). Returns the final TrainState."""
+    model = model or STEPDetector(cfg)
+    mesh = mesh or create_mesh(axis_names=cfg.mesh_axes)
+    state = create_train_state(cfg, jax.random.PRNGKey(seed), model)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    start_epoch = 0
+    if resume and ckpt_dir:
+        try:
+            state, data_iter = restore_checkpoint(ckpt_dir, state)
+            start_epoch = int(data_iter.get("epoch", 0))
+            print(f"resumed from step {int(state.step)} (epoch {start_epoch})", flush=True)
+        except FileNotFoundError:
+            pass
+
+    pstep = make_parallel_train_step(cfg, model, mesh)
+    logger = MetricsLogger(log_dir)
+    rng = jax.random.PRNGKey(seed + 1)
+
+    try:
+        for epoch in range(start_epoch, num_epochs):
+            t_last = time.time()
+            for batch in loader.epoch(epoch):
+                device_batch = shard_batch(
+                    {k: jnp.asarray(v) for k, v in batch.items() if k in _BATCH_KEYS},
+                    mesh,
+                )
+                state, metrics = pstep(state, device_batch, rng)
+                step = int(state.step)
+                now = time.time()
+                logger.log(
+                    step,
+                    metrics,
+                    {
+                        "epoch": epoch,
+                        "clips_per_sec": cfg.batch_size / max(now - t_last, 1e-6),
+                    },
+                )
+                t_last = now
+                if ckpt_dir and step % ckpt_every == 0:
+                    save_checkpoint(ckpt_dir, state, {"epoch": epoch, "next_seed": step})
+                if step >= cfg.total_steps:
+                    break
+            if eval_fn is not None and (epoch + 1) % eval_every_epochs == 0:
+                eval_metrics = eval_fn(state, epoch)
+                print(f"epoch {epoch} eval: {eval_metrics}", flush=True)
+            if int(state.step) >= cfg.total_steps:
+                break
+        if ckpt_dir:
+            save_checkpoint(ckpt_dir, state, {"epoch": num_epochs, "next_seed": 0},
+                            wait=True)
+    finally:
+        logger.close()
+    return state

@@ -18,6 +18,16 @@ import orbax.checkpoint as ocp
 from step_tpu.train.trainer import TrainState
 
 
+def _normalize_iter_state(data_iter_state: Optional[dict]) -> dict:
+    """Fixed data-iterator schema so save/restore templates always match."""
+    out = {"epoch": 0, "next_seed": 0}
+    if data_iter_state:
+        for k in out:
+            if k in data_iter_state:
+                out[k] = int(data_iter_state[k])
+    return out
+
+
 def _manager(ckpt_dir: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
     return ocp.CheckpointManager(
         os.path.abspath(ckpt_dir),
@@ -30,16 +40,18 @@ def save_checkpoint(
     state: TrainState,
     data_iter_state: Optional[dict] = None,
     max_to_keep: int = 3,
-    wait: bool = False,
+    wait: bool = True,
 ) -> int:
-    """Save train state (async by default). Returns the step saved."""
+    """Save train state. Waits for durability by default (each call opens a
+    fresh CheckpointManager, so an un-awaited async save could be left
+    half-finalized when the manager closes). Returns the step saved."""
     step = int(state.step)
     payload = {
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
         "step": state.step,
-        "data_iter": data_iter_state or {"next_seed": 0},
+        "data_iter": _normalize_iter_state(data_iter_state),
     }
     mngr = _manager(ckpt_dir, max_to_keep)
     mngr.save(step, args=ocp.args.StandardSave(payload))
@@ -68,7 +80,7 @@ def restore_checkpoint(
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
         "step": state.step,
-        "data_iter": {"next_seed": 0},
+        "data_iter": _normalize_iter_state(None),
     }
     restored = mngr.restore(target_step, args=ocp.args.StandardRestore(template))
     mngr.close()

@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Evaluation CLI (reference parity: ``test.py`` (recon)).
+
+Loads a checkpoint, runs the 3-step progressive inference with on-device
+NMS over the test split, dumps detections, and prints frame-/video-mAP
+(UCF) or keyframe frame-mAP (AVA).
+"""
+
+import argparse
+
+from step_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Evaluate the STEP-TPU detector")
+    p.add_argument("--preset", default="ucf_3step")
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--annotation-file", default=None)
+    p.add_argument("--ckpt-dir", required=True)
+    p.add_argument("--dump", default=None, help="detections pickle output path")
+    p.add_argument("--max-batches", type=int, default=None)
+    p.add_argument("--tiny", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    from step_tpu.config import PRESETS
+    from step_tpu.models.detector import STEPDetector
+    from step_tpu.train.trainer import create_train_state
+    from step_tpu.utils.checkpoint import restore_checkpoint
+
+    cfg = PRESETS[args.preset]
+    if args.tiny:
+        cfg = cfg.replace(backbone_depth="tiny", feature_stride=8)
+    model = STEPDetector(cfg)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), model)
+    state, _ = restore_checkpoint(args.ckpt_dir, state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    if cfg.dataset == "ava":
+        from step_tpu.data.ava import AVADataset
+        from step_tpu.evaluate import evaluate_ava
+
+        dataset = AVADataset(args.data_root, cfg,
+                             args.annotation_file or "ava_val_v2.1.csv")
+        results = evaluate_ava(variables, dataset, cfg, model,
+                               dump_path=args.dump, max_batches=args.max_batches)
+    else:
+        from step_tpu.data.ucf import UCFDataset
+        from step_tpu.evaluate import evaluate_ucf
+
+        dataset = UCFDataset(args.data_root, cfg, split="test",
+                             annotation_file=args.annotation_file or "UCF101v2-GT.pkl")
+        results = evaluate_ucf(variables, dataset, cfg, model,
+                               dump_path=args.dump, max_batches=args.max_batches)
+    for k, v in results.items():
+        print(f"{k}: {v:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,144 @@
+"""End-to-end driver tests: fit loop, evaluation, vis (tiny configs, CPU)."""
+
+import json
+import os
+import pickle
+
+import jax
+import numpy as np
+import pytest
+
+from step_tpu.config import StepConfig
+from step_tpu.data.loader import DataLoader
+from step_tpu.data.synthetic import SyntheticConfig, make_clip
+from step_tpu.models.detector import STEPDetector
+from step_tpu.train.fit import fit
+from step_tpu.train.trainer import create_train_state
+from step_tpu.utils.vis import draw_detections, write_video
+
+CFG = StepConfig(
+    dataset="synthetic",
+    num_classes=3,
+    frames_per_chunk=2,
+    num_chunks=1,
+    num_steps=1,
+    iou_thresholds=(0.4,),
+    step_loss_weights=(1.0,),
+    temporal_extension=False,
+    image_size=32,
+    backbone_depth="tiny",
+    feature_stride=8,
+    pooled_size=4,
+    max_proposals=12,
+    max_gt_tubes=2,
+    max_detections=4,
+    compute_dtype="float32",
+    batch_size=2,
+    gt_jitter_proposals=1,
+    warmup_steps=1,
+    total_steps=4,
+)
+
+SYN = SyntheticConfig(image_size=32, num_frames=CFG.total_frames,
+                      num_classes=3, max_boxes=2)
+
+
+class SynDataset:
+    def __init__(self, n=8):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return make_clip(i, SYN)
+
+
+def test_fit_trains_checkpoints_and_resumes(tmp_path):
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    logs = os.path.join(str(tmp_path), "logs")
+    loader = DataLoader(SynDataset(), CFG, train=True, num_workers=1)
+    from step_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh((1,), ("data",), devices=jax.devices()[:1])
+    state = fit(CFG, loader, num_epochs=1, ckpt_dir=ckpt, log_dir=logs,
+                ckpt_every=2, mesh=mesh)
+    assert int(state.step) == CFG.total_steps
+    # metrics JSONL written
+    lines = open(os.path.join(logs, "metrics.jsonl")).read().strip().splitlines()
+    assert len(lines) == CFG.total_steps
+    rec = json.loads(lines[-1])
+    assert np.isfinite(rec["loss"]) and rec["step"] == CFG.total_steps
+    # resume restores the final step and stops immediately
+    state2 = fit(CFG, loader, num_epochs=1, ckpt_dir=ckpt, resume=True, mesh=mesh)
+    assert int(state2.step) >= CFG.total_steps
+
+
+@pytest.fixture(scope="module")
+def trained_ucf(tmp_path_factory):
+    """Reuse the UCF fixture machinery from test_data via a local copy."""
+    from tests.test_data import ucf_root as _  # noqa: F401 (fixture import check)
+
+    # Build a tiny UCF-format tree inline (same as test_data's fixture).
+    import cv2
+
+    root = str(tmp_path_factory.mktemp("ucfroot"))
+    rng = np.random.RandomState(0)
+    nframes = {"Run/v1": 8}
+    H, W = 48, 64
+    gttubes = {}
+    for video, n in nframes.items():
+        for f in range(n):
+            img = (rng.rand(H, W, 3) * 128).astype(np.uint8)
+            path = os.path.join(root, "rgb-images", video, f"{f + 1:05d}.jpg")
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            cv2.imwrite(path, img)
+        frames = np.arange(1, n + 1, dtype=np.float32)
+        tube = np.stack([frames, 5 + frames, np.full_like(frames, 10),
+                         20 + frames, np.full_like(frames, 30)], -1)
+        gttubes[video] = {0: [tube]}
+    gt = {
+        "labels": ["Run", "Jump", "Wave"],
+        "train_videos": [["Run/v1"]],
+        "test_videos": [["Run/v1"]],
+        "nframes": nframes,
+        "gttubes": gttubes,
+        "resolution": {v: (H, W) for v in nframes},
+    }
+    with open(os.path.join(root, "UCF101v2-GT.pkl"), "wb") as f:
+        pickle.dump(gt, f)
+    return root
+
+
+def test_evaluate_ucf_pipeline(trained_ucf, tmp_path):
+    from step_tpu.data.ucf import UCFDataset
+    from step_tpu.evaluate import evaluate_ucf
+
+    cfg = CFG.replace(dataset="ucf101_24", score_thresh=0.0)
+    model = STEPDetector(cfg)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), model)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    ds = UCFDataset(trained_ucf, cfg, split="test")
+    dump = os.path.join(str(tmp_path), "dets.pkl")
+    results = evaluate_ucf(variables, ds, cfg, model, dump_path=dump, max_batches=2)
+    for k in ("frame_mAP@0.5", "video_mAP@0.2", "video_mAP@0.5", "video_mAP@0.5:0.95"):
+        assert k in results
+        assert 0.0 <= results[k] <= 1.0 or np.isnan(results[k])
+    assert os.path.exists(dump)
+    dets = pickle.load(open(dump, "rb"))["detections"]
+    assert isinstance(dets, list)
+
+
+def test_draw_and_write_video(tmp_path):
+    frames = [np.random.RandomState(i).rand(32, 48, 3).astype(np.float32)
+              for i in range(4)]
+    boxes = np.asarray([[2, 2, 20, 20], [10, 5, 40, 30]], np.float32)
+    drawn = [draw_detections(f, boxes, [0, 1], [0.9, 0.7],
+                             class_names=["run", "jump"]) for f in frames]
+    assert drawn[0].dtype == np.uint8 and drawn[0].shape == (32, 48, 3)
+    # drawing changed pixels
+    base = (np.clip(frames[0], 0, 1) * 255).astype(np.uint8)
+    assert (drawn[0] != base).any()
+    out = os.path.join(str(tmp_path), "out.mp4")
+    write_video(out, drawn, fps=5)
+    assert os.path.getsize(out) > 0

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Training CLI (reference parity: ``train.py`` (recon)).
+
+Examples:
+  python train.py --preset ucf_3step --data-root /data/ucf24 \
+      --ckpt-dir runs/ucf/ckpt --log-dir runs/ucf --epochs 8
+  python train.py --preset two_stream_train --data-root /data/ucf24 --flow
+  python train.py --dataset synthetic --steps 200      # no data needed
+"""
+
+import argparse
+
+from step_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train the STEP-TPU detector")
+    p.add_argument("--preset", default=None, help="named config preset")
+    p.add_argument("--dataset", default=None, help="ucf101_24 | ava | synthetic")
+    p.add_argument("--data-root", default=None)
+    p.add_argument("--annotation-file", default=None)
+    p.add_argument("--flow", action="store_true", help="load optical flow (two-stream)")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--steps", type=int, default=None, help="total optimizer steps")
+    p.add_argument("--epochs", type=int, default=8)
+    p.add_argument("--image-size", type=int, default=None)
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--log-dir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tiny", action="store_true", help="tiny backbone (debug)")
+    return p.parse_args()
+
+
+def build_config(args):
+    from step_tpu.config import PRESETS, StepConfig
+
+    cfg = PRESETS[args.preset] if args.preset else StepConfig()
+    over = {}
+    if args.dataset:
+        over["dataset"] = args.dataset
+        if args.dataset == "synthetic":
+            over.update(num_classes=4, image_size=64)
+    if args.batch_size:
+        over["batch_size"] = args.batch_size
+    if args.lr:
+        over["learning_rate"] = args.lr
+    if args.steps:
+        over["total_steps"] = args.steps
+    if args.image_size:
+        over["image_size"] = args.image_size
+    if args.flow:
+        over["two_stream"] = True
+    if args.tiny:
+        over.update(backbone_depth="tiny", feature_stride=8)
+    return cfg.replace(**over) if over else cfg
+
+
+def build_dataset(cfg, args):
+    if cfg.dataset == "synthetic":
+        from step_tpu.data.synthetic import SyntheticConfig, make_clip
+
+        syn = SyntheticConfig(
+            image_size=cfg.image_size,
+            num_frames=cfg.total_frames,
+            num_classes=cfg.num_classes,
+            max_boxes=cfg.max_gt_tubes,
+        )
+
+        class _Synthetic:
+            def __len__(self):
+                return 512
+
+            def __getitem__(self, i):
+                return make_clip(i, syn)
+
+        return _Synthetic()
+    if cfg.dataset == "ava":
+        from step_tpu.data.ava import AVADataset
+
+        return AVADataset(args.data_root, cfg,
+                          args.annotation_file or "ava_train_v2.1.csv",
+                          augment=True)
+    from step_tpu.data.ucf import UCFDataset
+
+    return UCFDataset(args.data_root, cfg, split="train",
+                      annotation_file=args.annotation_file or "UCF101v2-GT.pkl",
+                      augment=True, with_flow=cfg.two_stream)
+
+
+def main():
+    args = parse_args()
+    cfg = build_config(args)
+    from step_tpu.data.loader import DataLoader
+    from step_tpu.train.fit import fit
+
+    dataset = build_dataset(cfg, args)
+    loader = DataLoader(dataset, cfg, train=True, seed=args.seed)
+    fit(
+        cfg,
+        loader,
+        num_epochs=args.epochs,
+        ckpt_dir=args.ckpt_dir,
+        log_dir=args.log_dir,
+        resume=args.resume,
+        seed=args.seed,
+    )
+
+
+if __name__ == "__main__":
+    main()
