@@ -54,12 +54,17 @@ class UCFDataset:
         clip_stride: Optional[int] = None,
         augment: bool = False,
         with_flow: bool = False,
+        use_native: bool = True,
     ):
         self.root = root
         self.cfg = cfg
         self.split = split
         self.augment = TubeAugment() if augment else None
         self.with_flow = with_flow
+        # The native C++ loader decodes straight to the model resolution, so
+        # it only serves the un-augmented path (augmentation crops/expands at
+        # native resolution first).
+        self.use_native = use_native and not augment
 
         with open(os.path.join(root, annotation_file), "rb") as f:
             gt = pickle.load(f, encoding="latin1")
@@ -131,12 +136,44 @@ class UCFDataset:
         return gt_tubes, gt_labels, gt_mask
 
     # ------------------------------------------------------------- access
+    def _load_clip_native(self, video: str, frame_idx: np.ndarray):
+        """Decode+resize via the C++ loader; returns None if unavailable."""
+        from step_tpu.data import native_loader
+
+        if not native_loader.native_available():
+            return None
+        paths = [self._frame_path(video, int(f)) for f in frame_idx]
+        zero = np.zeros(3, np.float32)
+        one = np.ones(3, np.float32)
+        # mean 0 / std 1 → plain [0,1] pixels; normalization happens later in
+        # build_model_batch like the python path.
+        return native_loader.decode_clip(paths, self.cfg.image_size, zero, one)
+
     def __getitem__(self, i: int) -> dict:
         video, center = self.samples[i]
         cfg = self.cfg
         frame_idx = self.clip_frame_indices(video, center)
-        frames = np.stack([_load_image(self._frame_path(video, int(f))) for f in frame_idx])
         gt_tubes, gt_labels, gt_mask = self._gt_for_frames(video, frame_idx)
+
+        if self.use_native and not self.with_flow:
+            frames = self._load_clip_native(video, frame_idx)
+            if frames is not None:
+                H, W = self.resolution.get(video, frames.shape[1:3])
+                s = np.asarray(
+                    [cfg.image_size / W, cfg.image_size / H] * 2, np.float32
+                )
+                gt_scaled = np.clip(gt_tubes * s, 0, cfg.image_size)
+                return {
+                    "rgb": frames,
+                    "gt_tubes": gt_scaled.astype(np.float32),
+                    "gt_labels": gt_labels,
+                    "gt_mask": gt_mask,
+                    "video": video,
+                    "center_frame": center,
+                    "frame_indices": frame_idx,
+                }
+
+        frames = np.stack([_load_image(self._frame_path(video, int(f))) for f in frame_idx])
 
         flow = None
         if self.with_flow:

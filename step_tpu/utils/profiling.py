@@ -1,0 +1,85 @@
+"""Tracing / profiling utilities (SURVEY §5: the reference has none; we add
+first-class observability).
+
+- `trace(...)`: context manager around `jax.profiler` writing a Perfetto/
+  TensorBoard trace directory.
+- `program_report(fn, *args)`: compile a jitted fn and report XLA's own cost
+  analysis (FLOPs, bytes accessed) plus measured wall time — the quick "is
+  this op MXU-bound or HBM-bound" check.
+- `chained_timer(...)`: wall-time of N data-dependent executions with one
+  readback — the only timing methodology that survives transports which ack
+  block_until_ready early or memoize identical dispatches (see bench.py).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/step_tpu_trace"):
+    """Capture a profiler trace of the enclosed block."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def program_report(fn: Callable, *args, n_timed: int = 10) -> dict:
+    """Compile `fn(*args)` and report cost analysis + measured time."""
+    jitted = jax.jit(fn)
+    t0 = time.time()
+    lowered = jitted.lower(*args)
+    compiled = lowered.compile()
+    compile_s = time.time() - t0
+
+    cost = compiled.cost_analysis() or {}
+    if isinstance(cost, list):  # older jax returns a per-device list
+        cost = cost[0] if cost else {}
+    flops = float(cost.get("flops", 0.0))
+    bytes_accessed = float(cost.get("bytes accessed", 0.0))
+
+    out = compiled(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(n_timed):
+        jax.block_until_ready(compiled(*args))
+    wall = (time.time() - t0) / n_timed
+
+    report = {
+        "compile_s": compile_s,
+        "wall_s": wall,
+        "flops": flops,
+        "bytes_accessed": bytes_accessed,
+        "tflops_per_s": flops / wall / 1e12 if wall > 0 else 0.0,
+        "gbytes_per_s": bytes_accessed / wall / 1e9 if wall > 0 else 0.0,
+    }
+    return report
+
+
+def chained_timer(
+    step_fn: Callable,
+    init_carry,
+    iters: int = 30,
+    readback: Optional[Callable] = None,
+):
+    """Time `iters` data-dependent applications of `step_fn(carry) -> carry`
+    with one final readback. Returns seconds per iteration."""
+    carry = step_fn(init_carry)
+    _ = jax.block_until_ready(carry)
+    if readback:
+        readback(carry)
+    t0 = time.time()
+    carry = init_carry
+    for _ in range(iters):
+        carry = step_fn(carry)
+    if readback:
+        readback(carry)
+    else:
+        jax.block_until_ready(carry)
+    return (time.time() - t0) / iters

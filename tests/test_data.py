@@ -195,3 +195,28 @@ def test_resize_clip_scales_boxes():
     out_f, out_t = resize_clip(frames, tubes, 32)
     assert out_f.shape == (2, 32, 32, 3)
     np.testing.assert_allclose(out_t[0, 0], [8 * 0.4, 4 * 0.8, 16 * 0.4, 8 * 0.8])
+
+
+def test_native_loader_matches_python_path(ucf_root):
+    """C++ clip loader vs the cv2 path on the same dataset item."""
+    from step_tpu.data import native_loader
+
+    if not native_loader.native_available():
+        pytest.skip("native loader not built in this environment")
+    ds_native = UCFDataset(ucf_root, CFG, split="test", use_native=True)
+    ds_python = UCFDataset(ucf_root, CFG, split="test", use_native=False)
+    a, b = ds_native[0], ds_python[0]
+    assert a["rgb"].shape == b["rgb"].shape
+    # same decode + bilinear resize semantics (tiny numeric slack)
+    assert np.abs(a["rgb"] - b["rgb"]).max() < 2e-2
+    np.testing.assert_allclose(a["gt_tubes"], b["gt_tubes"], atol=1e-3)
+    np.testing.assert_array_equal(a["gt_mask"], b["gt_mask"])
+
+
+def test_native_loader_missing_file_error():
+    from step_tpu.data import native_loader
+
+    if not native_loader.native_available():
+        pytest.skip("native loader not built in this environment")
+    with pytest.raises(FileNotFoundError):
+        native_loader.decode_clip(["/nonexistent/frame.jpg"], 32)
