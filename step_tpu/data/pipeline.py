@@ -84,24 +84,39 @@ def build_model_batch(
             proposals[b, n_init : n_init + n_jit] = jt
             prop_mask[b, n_init : n_init + n_jit] = jm
 
+    # Pad (or truncate) GT to the static cfg.max_gt_tubes capacity so batch
+    # shapes never depend on the dataset's own box cap.
+    gt_tubes, gt_mask, labels = raw["gt_tubes"], raw["gt_mask"], raw["gt_labels"]
+    G = cfg.max_gt_tubes
+    if gt_tubes.shape[1] != G:
+        def fit_g(x):
+            if x.shape[1] >= G:
+                return x[:, :G]
+            pad = [(0, 0)] * x.ndim
+            pad[1] = (0, G - x.shape[1])
+            return np.pad(x, pad)
+
+        gt_tubes, gt_mask, labels = fit_g(gt_tubes), fit_g(gt_mask), fit_g(labels)
+
     batch = {
         "rgb": normalize_rgb(raw["rgb"]).astype(np.float32),
         "proposals": proposals.astype(np.float32),
         "prop_mask": prop_mask.astype(np.float32),
-        "gt_tubes": raw["gt_tubes"].astype(np.float32),
-        "gt_mask": raw["gt_mask"].astype(np.float32),
+        "gt_tubes": gt_tubes.astype(np.float32),
+        "gt_mask": gt_mask.astype(np.float32),
     }
     if "flow" in raw:
         batch["flow"] = raw["flow"].astype(np.float32)
-    labels = raw["gt_labels"]
     if cfg.multilabel and labels.ndim == 2:
         # convert int labels to multi-hot if a multilabel dataset handed ints
         onehot = np.zeros((*labels.shape, cfg.num_classes), np.float32)
         for b in range(labels.shape[0]):
             for g in range(labels.shape[1]):
-                if raw["gt_mask"][b, g] > 0:
-                    onehot[b, g, labels[b, g]] = 1.0
+                if gt_mask[b, g] > 0:
+                    onehot[b, g, int(labels[b, g])] = 1.0
         batch["gt_labels"] = onehot
+    elif cfg.multilabel:
+        batch["gt_labels"] = labels.astype(np.float32)
     else:
         batch["gt_labels"] = labels.astype(np.int32)
     return batch
