@@ -170,6 +170,60 @@ def roi_align_matmul(
     return (out / (sampling_ratio * sampling_ratio)).astype(features.dtype)
 
 
+def roi_pool(
+    features: jnp.ndarray,
+    boxes: jnp.ndarray,
+    pooled_size: int = 7,
+    spatial_scale: float = 1.0 / 16.0,
+) -> jnp.ndarray:
+    """ROI max-pool (reference parity: ``csrc/cuda/ROIPool_cuda.cu`` (recon),
+    the legacy Fast-R-CNN quantized variant — secondary to ROI align in the
+    reference and kept for op-inventory completeness).
+
+    Semantics: boxes are rounded to integer feature cells, each of the
+    pooled_size**2 bins takes the max over its (ceil-divided) cell range;
+    empty bins yield 0.
+
+    TPU formulation: instead of dynamic per-bin slices, build per-bin
+    {0,1} membership matrices over rows/cols (static shapes) and reduce with
+    masked maxes — the max-pool analog of the interpolation-matmul trick.
+
+    features [H, W, C]; boxes [N, 4] → [N, pooled, pooled, C].
+    """
+    H, W, C = features.shape
+    P = pooled_size
+    b = jnp.round(boxes.astype(jnp.float32) * spatial_scale)
+    x1, y1 = b[:, 0], b[:, 1]
+    roi_w = jnp.maximum(b[:, 2] - x1 + 1.0, 1.0)   # [N]
+    roi_h = jnp.maximum(b[:, 3] - y1 + 1.0, 1.0)
+    bin_w = roi_w / P
+    bin_h = roi_h / P
+
+    grid = jnp.arange(P, dtype=jnp.float32)
+
+    def axis_membership(start, bin_sz, limit):
+        # bin p covers [floor(p*bin), ceil((p+1)*bin)) offset by start, clamped
+        lo = jnp.clip(jnp.floor(grid[None, :] * bin_sz[:, None]) + start[:, None], 0, limit)
+        hi = jnp.clip(jnp.ceil((grid[None, :] + 1) * bin_sz[:, None]) + start[:, None], 0, limit)
+        cells = jnp.arange(limit, dtype=jnp.float32)
+        member = (cells[None, None, :] >= lo[..., None]) & (cells[None, None, :] < hi[..., None])
+        return member  # [N, P, limit] bool
+
+    rows = axis_membership(y1, bin_h, H)           # [N, P, H]
+    cols = axis_membership(x1, bin_w, W)           # [N, P, W]
+    f32 = features.astype(jnp.float32)
+    NEG = jnp.float32(-3.4e38)
+    # masked max over H then W
+    rowed = jnp.max(
+        jnp.where(rows[:, :, :, None, None], f32[None, None], NEG), axis=2
+    )                                              # [N, P, W, C]
+    out = jnp.max(
+        jnp.where(cols[:, None, :, :, None], rowed[:, :, None], NEG), axis=3
+    )                                              # [N, P, P, C]
+    out = jnp.where(out <= NEG / 2, 0.0, out)      # empty bins → 0
+    return out.astype(features.dtype)
+
+
 def tube_roi_align(
     features: jnp.ndarray,
     tubes: jnp.ndarray,

@@ -36,17 +36,40 @@ def match_tubes(
     gt_mask: jnp.ndarray,     # [G]
     frame_mask: jnp.ndarray,  # [T]
     iou_threshold: float,
+    prop_mask: jnp.ndarray | None = None,
+    force_best_match: bool = True,
 ):
     """Match proposals to GT tubes by masked tube IoU.
 
+    SSD-family bipartite forcing (the reference inherits it): in addition to
+    the IoU>=threshold rule, every valid GT claims its single best proposal
+    as positive regardless of IoU. Without this, the 11 coarse initial
+    cuboids would never be supervised toward small GT boxes and inference
+    (which starts from the cuboids alone) would collapse to background —
+    observed exactly so before this fix.
+
     Returns (best_gt [P] int32, best_iou [P], positive [P] float).
-    Padded GT slots never match.
+    Padded GT slots never match; padded proposal slots never get forced.
     """
     iou = tube_iou(proposals, gt_tubes, frame_mask)          # [P, G]
     iou = jnp.where(gt_mask[None, :] > 0, iou, NEG_IOU_FOR_INVALID)
-    best_gt = jnp.argmax(iou, axis=-1).astype(jnp.int32)     # [P]
+    if prop_mask is not None:
+        iou = jnp.where(prop_mask[:, None] > 0, iou, NEG_IOU_FOR_INVALID)
     best_iou = jnp.max(iou, axis=-1)                         # [P]
-    positive = (best_iou >= iou_threshold).astype(jnp.float32)
+
+    matched = iou
+    if force_best_match:
+        # Boost each GT's best proposal so it wins the threshold no matter
+        # its raw IoU (scatter-add keeps everything static-shaped).
+        best_p = jnp.argmax(iou, axis=0)                     # [G]
+        boost = 2.0 * gt_mask                                # [G]
+        matched = iou.at[best_p, jnp.arange(iou.shape[1])].add(boost)
+
+    best_gt = jnp.argmax(matched, axis=-1).astype(jnp.int32)  # [P]
+    match_val = jnp.max(matched, axis=-1)
+    positive = (match_val >= iou_threshold).astype(jnp.float32)
+    if prop_mask is not None:
+        positive = positive * (prop_mask > 0)
     return best_gt, best_iou, positive
 
 
@@ -107,7 +130,9 @@ def step_losses(
 
     def one_example_one_step(cls_logits, deltas, proposals, frame_mask, thr,
                              gt_t, gt_l, gt_m, p_m):
-        best_gt, best_iou, positive = match_tubes(proposals, gt_t, gt_m, frame_mask, thr)
+        best_gt, best_iou, positive = match_tubes(
+            proposals, gt_t, gt_m, frame_mask, thr, prop_mask=p_m
+        )
         # never match when example has no GT at all
         has_gt = (jnp.sum(gt_m) > 0).astype(jnp.float32)
         positive = positive * has_gt

@@ -153,3 +153,39 @@ def test_roi_align_matmul_matches_gather(pooled, ratio):
     a = roi_align(jnp.asarray(feat), jnp.asarray(boxes), pooled, 1 / 16.0, ratio)
     b = roi_align_matmul(jnp.asarray(feat), jnp.asarray(boxes), pooled, 1 / 16.0, ratio)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def np_roi_pool(feat, boxes, pooled, scale):
+    """Scalar oracle: legacy Fast-R-CNN quantized ROI max-pool."""
+    N, C = boxes.shape[0], feat.shape[-1]
+    H, W = feat.shape[:2]
+    out = np.zeros((N, pooled, pooled, C), np.float32)
+    for n in range(N):
+        x1, y1, x2, y2 = np.round(boxes[n] * scale)
+        rw = max(x2 - x1 + 1, 1.0)
+        rh = max(y2 - y1 + 1, 1.0)
+        for py in range(pooled):
+            for px in range(pooled):
+                ys = int(np.clip(np.floor(py * rh / pooled) + y1, 0, H))
+                ye = int(np.clip(np.ceil((py + 1) * rh / pooled) + y1, 0, H))
+                xs = int(np.clip(np.floor(px * rw / pooled) + x1, 0, W))
+                xe = int(np.clip(np.ceil((px + 1) * rw / pooled) + x1, 0, W))
+                if ye > ys and xe > xs:
+                    out[n, py, px] = feat[ys:ye, xs:xe].max(axis=(0, 1))
+    return out
+
+
+@pytest.mark.parametrize("pooled", [7, 3])
+def test_roi_pool_matches_oracle(pooled):
+    from step_tpu.ops.roi_align import roi_pool
+
+    rng = np.random.RandomState(11)
+    feat = rng.randn(14, 14, 5).astype(np.float32)
+    boxes = np.array(
+        [[0, 0, 224, 224], [32, 48, 160, 200], [-10, -10, 100, 100],
+         [200, 200, 230, 230], [50, 50, 52, 52]],
+        np.float32,
+    )
+    got = roi_pool(jnp.asarray(feat), jnp.asarray(boxes), pooled, 1 / 16.0)
+    want = np_roi_pool(feat, boxes, pooled, 1 / 16.0)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)

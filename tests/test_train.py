@@ -150,3 +150,33 @@ def test_train_overfits_synthetic(state_and_model):
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0], losses
     assert float(metrics["grad_norm"]) > 0
+
+
+def test_match_tubes_forced_best_match():
+    """Every valid GT claims its best proposal even below the IoU threshold
+    (the fix that makes inference-from-cuboids learnable)."""
+    T = 4
+    # one coarse proposal (low IoU with the small GT) + one far proposal
+    props = jnp.asarray(
+        np.stack(
+            [
+                np.tile([[0, 0, 32, 32]], (T, 1)),     # coarse, IoU ~0.04
+                np.tile([[100, 100, 120, 120]], (T, 1)),
+            ]
+        ),
+        jnp.float32,
+    )
+    gt = jnp.asarray(np.tile([[10, 10, 16, 16]], (1, T, 1)), jnp.float32)
+    gt_mask = jnp.asarray([1.0])
+    fmask = jnp.ones((T,))
+    best_gt, best_iou, pos = match_tubes(props, gt, gt_mask, fmask, 0.5)
+    np.testing.assert_array_equal(np.asarray(pos), [1.0, 0.0])  # forced
+    assert float(best_iou[0]) < 0.5  # reported IoU stays the raw value
+    # masked-out (padded) proposals are never forced
+    pm = jnp.asarray([0.0, 1.0])
+    _, _, pos2 = match_tubes(props, gt, gt_mask, fmask, 0.5, prop_mask=pm)
+    np.testing.assert_array_equal(np.asarray(pos2), [0.0, 1.0])
+    # forcing off → nothing matches
+    _, _, pos3 = match_tubes(props, gt, gt_mask, fmask, 0.5,
+                             force_best_match=False)
+    assert float(pos3.sum()) == 0.0
