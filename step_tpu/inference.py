@@ -51,6 +51,10 @@ def detect_clip(
     outputs = model.apply(variables, rgb, proposals, flow, train=False)
     tubes = outputs["tubes"][-1]                     # [B, P, T, 4]
     scores = class_scores_from_logits(outputs["cls_logits"][-1], cfg)  # [B,P,C]
+    # Padding proposal slots are never supervised — their logits are
+    # arbitrary. Zero them at the surface so every consumer (linking,
+    # thresholds, users reading tube_scores) sees only real proposals.
+    scores = scores * prop_mask[..., None]
 
     # No more than P proposals can survive NMS — never scan past that.
     max_keep = min(cfg.max_detections, proposals.shape[1])

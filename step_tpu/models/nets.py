@@ -81,6 +81,8 @@ class TwoBranchHead(nn.Module):
     num_frames: int                 # T — input-frame resolution of reg outputs
     dropout_rate: float = 0.3
     depth: str = "full"
+    reg_channels: int = 64          # 1x1 channel reduction before the
+                                    # spatially-flattened regression Dense
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -103,10 +105,17 @@ class TwoBranchHead(nn.Module):
         cls_logits = nn.Dense(self.num_cls_outputs, dtype=self.dtype, name="cls")(cls_feat)
 
         # ---- regression branch (per-frame deltas) ----
-        reg_feat = jax.image.resize(
-            spatial, (P, self.num_frames, spatial.shape[-1]), method="linear"
+        # Keep the spatial grid: where the target sits inside the anchor IS
+        # the regression signal — averaging it away (as the cls branch does)
+        # leaves the deltas unlearnable (observed: reg loss plateaus hard).
+        r = nn.Conv(self.reg_channels, (1, 1, 1), dtype=self.dtype,
+                    name="reg_reduce")(x)                  # [P, T', 7, 7, c]
+        r = nn.relu(r)
+        r = r.reshape(P, Tp, -1)                           # [P, T', 7*7*c]
+        r = jax.image.resize(
+            r, (P, self.num_frames, r.shape[-1]), method="linear"
         )
-        reg_feat = nn.Dropout(self.dropout_rate, deterministic=not train)(reg_feat)
+        r = nn.Dropout(self.dropout_rate, deterministic=not train)(r)
         deltas = nn.Dense(4, dtype=self.dtype, name="reg",
-                          kernel_init=nn.initializers.normal(1e-3))(reg_feat)
+                          kernel_init=nn.initializers.normal(1e-3))(r)
         return cls_logits.astype(jnp.float32), deltas.astype(jnp.float32)

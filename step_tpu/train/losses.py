@@ -73,8 +73,12 @@ def match_tubes(
     return best_gt, best_iou, positive
 
 
-def _cls_loss_softmax(cls_logits, best_gt, positive, gt_labels, prop_mask):
-    """UCF-style: softmax CE over [background + C] classes.
+def _cls_loss_softmax(cls_logits, best_gt, positive, gt_labels, prop_mask,
+                      neg_pos_ratio: float = 0.0):
+    """UCF-style: softmax CE over [background + C] classes, with optional
+    SSD-style hard-negative mining (keep the `neg_pos_ratio` hardest
+    negatives per positive; essential at 11-proposal scale where plain mean
+    CE drowns the 1-2 positives).
 
     gt_labels: [G] int32 foreground class in [0, C); background column is 0.
     """
@@ -82,7 +86,20 @@ def _cls_loss_softmax(cls_logits, best_gt, positive, gt_labels, prop_mask):
     target = jnp.where(positive > 0, target_fg, 0)           # bg = 0
     logp = jax.nn.log_softmax(cls_logits, axis=-1)           # [P, C+1]
     ce = -jnp.take_along_axis(logp, target[:, None], axis=-1)[:, 0]
-    return jnp.sum(ce * prop_mask) / jnp.maximum(jnp.sum(prop_mask), EPS)
+    if neg_pos_ratio <= 0:
+        return jnp.sum(ce * prop_mask) / jnp.maximum(jnp.sum(prop_mask), EPS)
+
+    pos = positive * prop_mask                               # [P]
+    neg = (1.0 - positive) * prop_mask
+    num_pos = jnp.sum(pos)
+    neg_ce = ce * neg
+    # rank negatives by CE (hardest first) with pairwise comparisons
+    harder = (neg_ce[None, :] > neg_ce[:, None]).astype(jnp.float32)
+    rank = jnp.sum(harder * neg[None, :], axis=-1)           # [P]
+    num_keep = neg_pos_ratio * jnp.maximum(num_pos, 1.0)
+    keep_neg = neg * (rank < num_keep).astype(jnp.float32)
+    total = jnp.sum(ce * pos) + jnp.sum(ce * keep_neg)
+    return total / jnp.maximum(num_pos + jnp.sum(keep_neg), EPS)
 
 
 def _cls_loss_sigmoid(cls_logits, best_gt, positive, gt_labels, prop_mask):
@@ -126,7 +143,14 @@ def step_losses(
     thresholds = jnp.asarray(cfg.iou_thresholds[:S], jnp.float32)
     weights = jnp.asarray(cfg.step_loss_weights[:S], jnp.float32)
 
-    cls_fn = _cls_loss_sigmoid if cfg.multilabel else _cls_loss_softmax
+    if cfg.multilabel:
+        cls_fn = _cls_loss_sigmoid
+    else:
+        import functools
+
+        cls_fn = functools.partial(
+            _cls_loss_softmax, neg_pos_ratio=cfg.neg_pos_ratio
+        )
 
     def one_example_one_step(cls_logits, deltas, proposals, frame_mask, thr,
                              gt_t, gt_l, gt_m, p_m):

@@ -42,19 +42,22 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_optimizer(cfg: StepConfig) -> optax.GradientTransformation:
-    """AdamW with linear warmup + cosine decay (the reference uses SGD with a
-    hand-stepped schedule; AdamW-cosine is the idiomatic modern default and a
-    config knob away from SGD)."""
+    """Warmup-cosine schedule with AdamW (default) or SGD+momentum (the
+    reference's optimizer, `cfg.optimizer="sgd"`)."""
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0,
         peak_value=cfg.learning_rate,
         warmup_steps=cfg.warmup_steps,
         decay_steps=max(cfg.total_steps, cfg.warmup_steps + 1),
     )
-    return optax.chain(
-        optax.clip_by_global_norm(10.0),
-        optax.adamw(schedule, weight_decay=cfg.weight_decay),
-    )
+    if cfg.optimizer == "sgd":
+        opt = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.sgd(schedule, momentum=cfg.momentum),
+        )
+    else:
+        opt = optax.adamw(schedule, weight_decay=cfg.weight_decay)
+    return optax.chain(optax.clip_by_global_norm(10.0), opt)
 
 
 def create_train_state(

@@ -42,16 +42,16 @@ def golden_setup():
 def test_golden_forward(golden_setup):
     model, variables, b = golden_setup
     out = model.apply(variables, jnp.asarray(b["rgb"]), jnp.asarray(b["proposals"]))
-    assert float(jnp.sum(out["cls_logits"])) == pytest.approx(-21.708544, rel=2e-3)
+    assert float(jnp.sum(out["cls_logits"])) == pytest.approx(-21.708271, rel=2e-3)
     np.testing.assert_allclose(
         np.asarray(out["cls_logits"])[0, 0, 0, :3],
         [-0.31657189, -0.15668651, -0.08142370],
         rtol=2e-3, atol=1e-4,
     )
-    assert float(jnp.mean(out["tubes"])) == pytest.approx(15.996869, rel=2e-3)
+    assert float(jnp.mean(out["tubes"])) == pytest.approx(16.003656, rel=2e-3)
     np.testing.assert_allclose(
         np.asarray(out["tubes"])[-1, 0, 0, 0],
-        [0.0, 0.00349426, 31.98728180, 31.97807884],
+        [0.02336788, 0.01064873, 32.0, 32.0],
         rtol=2e-3, atol=2e-2,
     )
 
@@ -62,8 +62,9 @@ def test_golden_detection(golden_setup):
         variables, jnp.asarray(b["rgb"]), jnp.asarray(b["proposals"]),
         jnp.asarray(b["prop_mask"]), CFG, model,
     )
-    assert float(jnp.sum(det["tube_scores"])) == pytest.approx(9.279839, rel=2e-3)
-    assert float(jnp.max(det["frame_scores"])) == pytest.approx(0.257279, rel=2e-3)
+    # padding slots (11 real of 12) zeroed at the surface
+    assert float(jnp.sum(det["tube_scores"])) == pytest.approx(8.505507, rel=2e-3)
+    assert float(jnp.max(det["frame_scores"])) == pytest.approx(0.257278, rel=2e-3)
 
 
 def test_two_stream_end_to_end():
