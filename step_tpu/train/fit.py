@@ -27,14 +27,26 @@ _BATCH_KEYS = ("rgb", "flow", "proposals", "prop_mask", "gt_tubes", "gt_labels",
 
 
 class MetricsLogger:
-    """Console + JSONL metrics (reference: console prints + tensorboardX)."""
+    """Console + JSONL + optional TensorBoard metrics (reference: console
+    prints + tensorboardX)."""
 
-    def __init__(self, log_dir: Optional[str] = None, print_every: int = 20):
+    def __init__(self, log_dir: Optional[str] = None, print_every: int = 20,
+                 tensorboard: bool = True):
         self.print_every = print_every
         self.jsonl = None
+        self.tb = None
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
             self.jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+            if tensorboard:
+                try:
+                    import tensorflow as tf  # baked into the image
+
+                    self.tb = tf.summary.create_file_writer(
+                        os.path.join(log_dir, "tb")
+                    )
+                except ImportError:
+                    self.tb = None
 
     def log(self, step: int, metrics: dict, extra: Optional[dict] = None):
         record = {"step": step}
@@ -46,6 +58,16 @@ class MetricsLogger:
         if self.jsonl:
             self.jsonl.write(json.dumps(record) + "\n")
             self.jsonl.flush()
+        if self.tb is not None:
+            import tensorflow as tf
+
+            with self.tb.as_default():
+                for k, v in record.items():
+                    if isinstance(v, float):
+                        tf.summary.scalar(k, v, step=step)
+                    elif isinstance(v, list) and v and isinstance(v[0], float):
+                        for i, vi in enumerate(v):
+                            tf.summary.scalar(f"{k}/{i}", vi, step=step)
         if step % self.print_every == 0:
             loss = record.get("loss", float("nan"))
             cps = record.get("clips_per_sec", 0.0)
@@ -54,6 +76,8 @@ class MetricsLogger:
     def close(self):
         if self.jsonl:
             self.jsonl.close()
+        if self.tb is not None:
+            self.tb.close()
 
 
 def fit(

@@ -142,3 +142,36 @@ def test_draw_and_write_video(tmp_path):
     out = os.path.join(str(tmp_path), "out.mp4")
     write_video(out, drawn, fps=5)
     assert os.path.getsize(out) > 0
+
+
+def test_debug_utilities():
+    import jax.numpy as jnp
+
+    from step_tpu.utils.debug import assert_finite_tree, checked, tree_norms
+
+    tree = {"a": {"k": jnp.ones((3,))}, "b": {"k": jnp.zeros((2,))}}
+    assert_finite_tree(tree)  # no raise
+    norms = tree_norms(tree)
+    assert norms["a"] == pytest.approx(np.sqrt(3.0))
+    bad = {"a": {"k": jnp.asarray([1.0, np.nan])}}
+    with pytest.raises(FloatingPointError):
+        assert_finite_tree(bad, "bad")
+
+    f = checked(lambda x: jnp.log(x))
+    out = f(jnp.asarray([1.0]))
+    assert np.isfinite(np.asarray(out)).all()
+    with pytest.raises(Exception):
+        f(jnp.asarray([-1.0]))  # nan via log of negative
+
+
+def test_metrics_logger_tensorboard(tmp_path):
+    from step_tpu.train.fit import MetricsLogger
+
+    logs = os.path.join(str(tmp_path), "logs")
+    logger = MetricsLogger(logs, tensorboard=True)
+    logger.log(1, {"loss": np.float32(1.5), "per_step": np.asarray([1.0, 2.0])})
+    logger.close()
+    assert os.path.exists(os.path.join(logs, "metrics.jsonl"))
+    tb_dir = os.path.join(logs, "tb")
+    if os.path.isdir(tb_dir):  # tensorflow present in this image
+        assert any(os.scandir(tb_dir))
