@@ -70,20 +70,17 @@ def collect_detections(
             if image_scale_to_gt and hasattr(dataset, "resolution"):
                 H, W = dataset.resolution.get(video, (cfg.image_size, cfg.image_size))
                 sx, sy = W / cfg.image_size, H / cfg.image_size
-            for t in range(boxes.shape[1]):
+            keep = np.argwhere((mask[b] > 0) & (scores[b] > cfg.score_thresh))
+            scale = np.asarray([sx, sy, sx, sy], np.float32)
+            for t, c, k in keep:
                 if frame_idx is not None:
                     fkey = (video, int(frame_idx[t]) + 1)  # 1-based like GT
                 else:
-                    fkey = (video, meta.get("timestamp", t))
-                for c in range(boxes.shape[2]):
-                    for k in range(boxes.shape[3]):
-                        if mask[b, t, c, k] > 0 and scores[b, t, c, k] > cfg.score_thresh:
-                            x1, y1, x2, y2 = boxes[b, t, c, k]
-                            detections.append(
-                                (fkey, c, float(scores[b, t, c, k]),
-                                 np.asarray([x1 * sx, y1 * sy, x2 * sx, y2 * sy],
-                                            np.float32))
-                            )
+                    fkey = (video, meta.get("timestamp", int(t)))
+                detections.append(
+                    (fkey, int(c), float(scores[b, t, c, k]),
+                     boxes[b, t, c, k] * scale)
+                )
     return detections
 
 
