@@ -95,6 +95,71 @@ def dedupe_frame_detections(detections):
     return list(best.values())
 
 
+def link_frame_detections(
+    detections,
+    link_iou: float = 0.2,
+    max_gap: int = 3,
+    min_length: int = 2,
+):
+    """Assemble video-long tubes from per-frame detections by greedy
+    temporal linking (reference: the host-side linking in ``test.py`` /
+    ``tube_utils`` (recon)).
+
+    Per (video, class): walk frames in order; each active tube extends with
+    the unclaimed detection of highest IoU >= link_iou against its last box;
+    unclaimed detections start new tubes; tubes idle for > max_gap frames
+    close. Tube score = mean of member scores.
+
+    Returns [(video, class, score, {frame: box})].
+    """
+    by_vcf = defaultdict(lambda: defaultdict(list))
+    for (video, frame), c, s, box in detections:
+        by_vcf[(video, c)][frame].append((s, np.asarray(box, np.float32)))
+
+    from step_tpu.eval.detection_metrics import _iou_1vsN
+
+    out = []
+    for (video, c), frames in by_vcf.items():
+        active = []  # [{'frames': {f: box}, 'scores': [..], 'last_f': f}]
+        done = []
+        for f in sorted(frames):
+            dets = frames[f]
+            # close stale tubes
+            still = []
+            for tube in active:
+                (done if f - tube["last_f"] > max_gap else still).append(tube)
+            active = still
+            claimed = [False] * len(dets)
+            # extend tubes greedily by IoU against their last box
+            for tube in active:
+                if not dets:
+                    break
+                last_box = tube["frames"][tube["last_f"]]
+                ious = np.asarray(
+                    [0.0 if claimed[i] else
+                     float(_iou_1vsN(last_box, d[1][None])[0])
+                     for i, d in enumerate(dets)]
+                )
+                j = int(np.argmax(ious)) if len(ious) else -1
+                if j >= 0 and ious[j] >= link_iou:
+                    claimed[j] = True
+                    s, box = dets[j]
+                    tube["frames"][f] = box
+                    tube["scores"].append(s)
+                    tube["last_f"] = f
+            # unclaimed detections start new tubes
+            for i, (s, box) in enumerate(dets):
+                if not claimed[i]:
+                    active.append({"frames": {f: box}, "scores": [s], "last_f": f})
+        done.extend(active)
+        for tube in done:
+            if len(tube["frames"]) >= min_length:
+                out.append(
+                    (video, c, float(np.mean(tube["scores"])), tube["frames"])
+                )
+    return out
+
+
 def evaluate_ucf(
     variables,
     dataset,
@@ -114,19 +179,7 @@ def evaluate_ucf(
 
     results = {"frame_mAP@0.5": frame_map(detections, frame_gt, cfg.num_classes, 0.5)["mAP"]}
 
-    # Build video tubes per (video, class) by linking per-frame detections
-    # greedily over time (host-side assembly of the on-device outputs).
-    by_vc = defaultdict(dict)
-    for fkey, c, s, box in detections:
-        video, frame = fkey
-        cur = by_vc[(video, c)]
-        if frame not in cur or cur[frame][0] < s:
-            cur[frame] = (s, box)
-    pred_tubes = []
-    for (video, c), frames in by_vc.items():
-        tube = {f: box for f, (s, box) in frames.items()}
-        score = float(np.mean([s for s, _ in frames.values()]))
-        pred_tubes.append((video, c, score, tube))
+    pred_tubes = link_frame_detections(detections)
     for thresh in (0.2, 0.5):
         results[f"video_mAP@{thresh}"] = video_map(
             pred_tubes, tube_gt, cfg.num_classes, thresh

@@ -100,3 +100,27 @@ def test_parse_ava_csv_rows():
     assert dets[0][2] == 0.88
     gts = parse_ava_csv_rows([r[:7] for r in rows], with_scores=False)
     assert gts[0][1] == 6
+
+
+def test_link_frame_detections():
+    from step_tpu.evaluate import link_frame_detections
+
+    B1 = np.asarray(BOX, np.float32)
+    B2 = np.asarray(OFF, np.float32)
+    dets = []
+    # two parallel instances of class 0 across frames 1..5 in one video
+    for f in range(1, 6):
+        dets.append((("v", f), 0, 0.9, B1 + f))       # slowly moving
+        dets.append((("v", f), 0, 0.6, B2))            # static second actor
+    # a single-frame spurious detection (below min_length)
+    dets.append((("v", 9), 0, 0.5, B1))
+    tubes = link_frame_detections(dets, link_iou=0.2, max_gap=2, min_length=2)
+    assert len(tubes) == 2
+    lengths = sorted(len(t[3]) for t in tubes)
+    assert lengths == [5, 5]
+    scores = sorted(round(t[2], 2) for t in tubes)
+    assert scores == [0.6, 0.9]
+    # classes kept separate
+    dets2 = dets + [(("v", f), 1, 0.8, B1 + f) for f in range(1, 4)]
+    tubes2 = link_frame_detections(dets2)
+    assert len(tubes2) == 3
