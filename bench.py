@@ -33,7 +33,7 @@ enable_compile_cache()
 REF_CLIPS_PER_SEC = 20.0  # documented proxy, see module docstring
 TARGET_MULTIPLier = 5.0
 
-BATCH = 8
+BATCH = 64   # throughput sweet spot from the batch sweep (see VALIDATION.md)
 ITERS = 30
 
 
