@@ -34,7 +34,6 @@ def main():
     import numpy as np
 
     from step_tpu.config import PRESETS
-    from step_tpu.data.pipeline import normalize_rgb
     from step_tpu.inference import detect_video
     from step_tpu.models.detector import STEPDetector
     from step_tpu.utils.init import init_detector_cpu
@@ -69,7 +68,7 @@ def main():
     pad = L * T - T_all
     if pad:
         resized = np.concatenate([resized, np.repeat(resized[-1:], pad, 0)])
-    clips = normalize_rgb(resized).reshape(L, T, S, S, 3).astype(np.float32)
+    clips = resized.reshape(L, T, S, S, 3).astype(np.float32)  # [0,1]; model normalizes on device
 
     out = detect_video(variables, jnp.asarray(clips), cfg, model)
     tubes = np.asarray(out["tubes"])          # [L, P, T, 4]

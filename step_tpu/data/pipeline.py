@@ -1,9 +1,13 @@
-"""Batch assembly: proposals, GT-jitter augmentation, normalization.
+"""Batch assembly: proposals, GT-jitter augmentation.
 
 Reference parity: the collate fn + in-loop proposal assembly of ``train.py``
 (recon). The training trick of adding jittered copies of the GT tubes to the
 proposal set (so later steps see near-positive anchors) fills the static
 padding slots between the 11 initial cuboids and `max_proposals`.
+
+Batches carry rgb as [0,1] float32 (or uint8 with `emit_uint8=True` for 4x
+cheaper transfers); mean/std normalization happens ON DEVICE inside the
+compiled detector (`step_tpu/preprocess.py`).
 """
 
 from __future__ import annotations
@@ -11,15 +15,17 @@ from __future__ import annotations
 import numpy as np
 
 from step_tpu.config import StepConfig
+from step_tpu.preprocess import RGB_MEAN as _RGB_MEAN
+from step_tpu.preprocess import RGB_STD as _RGB_STD
 from step_tpu.tubes.proposals import initial_cuboids
 
-# ImageNet/Kinetics mean-std in [0,1] scale (reference normalizes similarly
-# in data/augmentations.py (recon)).
-RGB_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
-RGB_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+RGB_MEAN = np.asarray(_RGB_MEAN, np.float32)
+RGB_STD = np.asarray(_RGB_STD, np.float32)
 
 
 def normalize_rgb(rgb: np.ndarray) -> np.ndarray:
+    """Host-side normalization — only for consumers that bypass the model's
+    on-device preprocessing (kept for tooling/tests)."""
     return (rgb - RGB_MEAN) / RGB_STD
 
 
@@ -61,11 +67,13 @@ def build_model_batch(
     cfg: StepConfig,
     train: bool = False,
     seed: int = 0,
+    emit_uint8: bool = False,
 ) -> dict:
     """raw batch (rgb [B,T,H,W,3] in [0,1], gt_*) → model batch.
 
     Adds `proposals` [B, P, T, 4] (initial cuboids + optional jittered GT in
-    the padding slots), `prop_mask` [B, P], and normalized rgb.
+    the padding slots) and `prop_mask` [B, P]. rgb stays [0,1] float32 (or
+    uint8 with `emit_uint8`) — the detector normalizes on device.
     """
     B, T = raw["rgb"].shape[:2]
     base_tubes, base_mask = initial_cuboids(cfg.image_size, T, cfg.max_proposals)
@@ -98,8 +106,12 @@ def build_model_batch(
 
         gt_tubes, gt_mask, labels = fit_g(gt_tubes), fit_g(gt_mask), fit_g(labels)
 
+    if emit_uint8:
+        rgb_out = (np.clip(raw["rgb"], 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    else:
+        rgb_out = raw["rgb"].astype(np.float32)
     batch = {
-        "rgb": normalize_rgb(raw["rgb"]).astype(np.float32),
+        "rgb": rgb_out,
         "proposals": proposals.astype(np.float32),
         "prop_mask": prop_mask.astype(np.float32),
         "gt_tubes": gt_tubes.astype(np.float32),

@@ -30,6 +30,7 @@ import flax.linen as nn
 
 from step_tpu.config import StepConfig
 from step_tpu.models.nets import FeatureNet, ContextNet, TwoBranchHead
+from step_tpu.preprocess import device_preprocess
 from step_tpu.ops.roi_align import tube_roi_align
 from step_tpu.tubes.boxes import decode_boxes, clip_boxes
 from step_tpu.tubes.tube_ops import chunk_frame_mask, extrapolate_tubes
@@ -126,13 +127,17 @@ class STEPDetector(nn.Module):
     @nn.compact
     def __call__(
         self,
-        rgb: jnp.ndarray,                       # [B, T, H, W, 3]
+        rgb: jnp.ndarray,                       # [B, T, H, W, 3] uint8 or [0,1]
         proposals: jnp.ndarray,                 # [B, P, T, 4]
-        flow: Optional[jnp.ndarray] = None,     # [B, T, H, W, 2]
+        flow: Optional[jnp.ndarray] = None,     # [B, T, H, W, 2] in [-1, 1]
         train: bool = False,
     ):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
+        # Normalization happens on device, inside the compiled program, so
+        # host→device transfers can stay uint8/[0,1] (north-star fused
+        # preprocessing). XLA folds the affine into the first conv.
+        rgb = device_preprocess(rgb)
         feat = FeatureNet(two_stream=cfg.two_stream, depth=cfg.backbone_depth,
                            dtype=dtype, name="features")(
             rgb.astype(dtype), None if flow is None else flow.astype(dtype), train

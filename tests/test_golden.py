@@ -109,3 +109,36 @@ def test_ava_multilabel_end_to_end():
     det = detect_clip(variables, rgb, props, jnp.asarray(b["prop_mask"]), cfg, model)
     s = np.asarray(det["tube_scores"])
     assert s.shape[-1] == 6 and (s >= 0).all() and (s <= 1).all()
+
+
+def test_uint8_input_path(golden_setup):
+    """uint8 rgb (cheap-transfer format) matches the float path closely."""
+    model, variables, b = golden_setup
+    rgb_f = jnp.asarray(b["rgb"])                      # [0,1] float32
+    rgb_u8 = jnp.asarray(
+        np.clip(np.asarray(rgb_f) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    )
+    props = jnp.asarray(b["proposals"])
+    out_f = model.apply(variables, rgb_f, props)
+    out_u = model.apply(variables, rgb_u8, props)
+    # quantization to 1/255 moves logits only slightly
+    np.testing.assert_allclose(
+        np.asarray(out_f["cls_logits"]), np.asarray(out_u["cls_logits"]),
+        rtol=0.1, atol=0.05,
+    )
+
+
+def test_build_model_batch_uint8():
+    from step_tpu.data.pipeline import build_model_batch
+
+    raw = {
+        "rgb": np.random.RandomState(0).rand(1, CFG.total_frames, 32, 32, 3).astype(np.float32),
+        "gt_tubes": np.zeros((1, 2, CFG.total_frames, 4), np.float32),
+        "gt_labels": np.zeros((1, 2), np.int32),
+        "gt_mask": np.zeros((1, 2), np.float32),
+    }
+    b = build_model_batch(raw, CFG, emit_uint8=True)
+    assert b["rgb"].dtype == np.uint8
+    b2 = build_model_batch(raw, CFG)
+    assert b2["rgb"].dtype == np.float32
+    assert b2["rgb"].max() <= 1.0  # un-normalized [0,1]
