@@ -10,7 +10,6 @@ forward, NMS, and host-side linking).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -14,8 +14,6 @@ detector only routes through this kernel when running inference.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

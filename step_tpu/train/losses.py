@@ -13,6 +13,8 @@ validity mask, proposals to P_max; no boolean indexing.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -146,8 +148,6 @@ def step_losses(
     if cfg.multilabel:
         cls_fn = _cls_loss_sigmoid
     else:
-        import functools
-
         cls_fn = functools.partial(
             _cls_loss_softmax, neg_pos_ratio=cfg.neg_pos_ratio
         )

@@ -10,9 +10,8 @@ data-iterator position, so a preempted job resumes exactly — the auxiliary
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 from step_tpu.train.trainer import TrainState

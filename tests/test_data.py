@@ -9,7 +9,7 @@ import pytest
 from step_tpu.config import StepConfig
 from step_tpu.data.augmentations import TubeAugment, TubeAugmentConfig, resize_clip
 from step_tpu.data.ava import AVADataset, read_ava_csv
-from step_tpu.data.loader import DataLoader, collate
+from step_tpu.data.loader import DataLoader
 from step_tpu.data.ucf import UCFDataset
 
 CFG = StepConfig(

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from step_tpu.config import StepConfig, PRESETS
+from step_tpu.config import StepConfig
 from step_tpu.models.i3d import I3DStem, I3DTail, I3DClassifier
 from step_tpu.models.detector import STEPDetector, feature_time_indices
 

@@ -1,7 +1,5 @@
 """Pallas kernels vs jnp references (interpret mode on CPU)."""
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
