@@ -95,6 +95,8 @@ class DataLoader:
                     )
                     batch["meta"] = raw["meta"]
                     q.put(batch)
+            except BaseException as e:  # propagate to the consumer
+                q.put(e)
             finally:
                 q.put(None)
 
@@ -105,6 +107,8 @@ class DataLoader:
                 batch = q.get()
                 if batch is None:
                     break
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

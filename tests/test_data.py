@@ -220,3 +220,16 @@ def test_native_loader_missing_file_error():
         pytest.skip("native loader not built in this environment")
     with pytest.raises(FileNotFoundError):
         native_loader.decode_clip(["/nonexistent/frame.jpg"], 32)
+
+
+def test_dataloader_propagates_worker_errors():
+    class Exploding:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise RuntimeError("decode failed")
+
+    dl = DataLoader(Exploding(), CFG, batch_size=2, train=False, num_workers=1)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(dl.epoch(0))
