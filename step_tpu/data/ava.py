@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import csv
 import os
+import zlib
 from collections import defaultdict
 from typing import Optional
 
@@ -125,7 +126,7 @@ class AVADataset:
             (video, ts), frames.shape[1:3]
         )
         if self.augment is not None:
-            rng = np.random.RandomState(hash((video, ts)) % (2**31))
+            rng = np.random.RandomState(zlib.crc32(f"{video}:{ts}".encode()))
             frames, gt_tubes, gt_mask = self.augment(frames, gt_tubes, gt_mask, rng)
         frames, gt_tubes = resize_clip(frames, gt_tubes, cfg.image_size)
         gt_tubes = np.clip(gt_tubes, 0, cfg.image_size)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import zlib
 from typing import Optional
 
 import numpy as np
@@ -95,12 +96,12 @@ class UCFDataset:
         return os.path.join(self.root, "brox-images", video, f"{idx0 + 1:05d}.jpg")
 
     def clip_frame_indices(self, video: str, center: int) -> np.ndarray:
-        """T edge-clamped 0-based frame indices spanning all chunks."""
+        """T edge-clamped 0-based frame indices spanning all chunks,
+        sampled every `temporal_stride` frames around the center."""
         cfg = self.cfg
         T = cfg.total_frames
-        start = center - T // 2
-        idx = np.arange(start, start + T) * cfg.temporal_stride
-        return np.clip(idx, 0, self.nframes[video] - 1)
+        offsets = (np.arange(T) - T // 2) * cfg.temporal_stride
+        return np.clip(center + offsets, 0, self.nframes[video] - 1)
 
     def _gt_for_frames(self, video: str, frame_idx: np.ndarray):
         """GT tubes restricted to the clip's frames (edge frames clamp to the
@@ -183,7 +184,7 @@ class UCFDataset:
             flow = flow_imgs[..., :2] * 2.0 - 1.0  # [0,1] → [-1,1], (x, y)
 
         if self.augment is not None:
-            rng = np.random.RandomState(hash((video, center)) % (2**31))
+            rng = np.random.RandomState(zlib.crc32(f"{video}:{center}".encode()))
             frames, gt_tubes, gt_mask = self.augment(frames, gt_tubes, gt_mask, rng)
 
         frames, gt_tubes = resize_clip(frames, gt_tubes, cfg.image_size)
