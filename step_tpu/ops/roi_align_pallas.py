@@ -6,7 +6,8 @@ The north-star TPU-native replacement for the reference's CUDA ROIAlign
 A scalar gather-pool kernel is the GPU idiom; on TPU, dynamic scalar
 indexing of VMEM sublanes is alignment-restricted (Mosaic rejects it) and
 gathers waste the MXU. Instead we use the separable-bilinear identity (see
-``roi_align.roi_align_matmul``): per (clip, tube, slice), build the two
+``roi_align.roi_align_matmul``): per (clip, slice) — with the feature slice
+resident in VMEM once and an in-kernel loop over tubes — build the two
 interpolation matrices A_y [P, H], A_x [P, W] from the box scalars with
 broadcasted iota (VPU), then pool with two MXU contractions:
 
@@ -33,49 +34,50 @@ from jax.experimental.pallas import tpu as pltpu
 from step_tpu.ops.roi_align import tube_roi_align as _tube_roi_align_ref
 
 
-def _kernel(boxes_smem, feat_ref, out_ref, *, pooled: int, ratio: int,
-            scale: float, H: int, W: int):
+def _kernel_all_tubes(boxes_smem, feat_ref, out_ref, *, pooled: int, ratio: int,
+                      scale: float, H: int, W: int, N: int):
+    """Grid (B, T'): the feature slice lands in VMEM once and an in-kernel
+    loop pools all N tubes from it (v1's grid (B, N, T') re-fetched the same
+    slice N times and lost to the XLA matmul path on HBM traffic)."""
     b = pl.program_id(0)
-    n = pl.program_id(1)
-    t = pl.program_id(2)
+    t = pl.program_id(1)
 
-    x1 = boxes_smem[b, n, t, 0] * scale
-    y1 = boxes_smem[b, n, t, 1] * scale
-    x2 = boxes_smem[b, n, t, 2] * scale
-    y2 = boxes_smem[b, n, t, 3] * scale
-    bin_w = jnp.maximum(x2 - x1, 1.0) / pooled
-    bin_h = jnp.maximum(y2 - y1, 1.0) / pooled
-
-    # Sample offsets within the roi: [P, S]
     p_ids = jax.lax.broadcasted_iota(jnp.int32, (pooled, ratio), 0).astype(jnp.float32)
     s_ids = jax.lax.broadcasted_iota(jnp.int32, (pooled, ratio), 1).astype(jnp.float32)
     off = p_ids + (s_ids + 0.5) / ratio
 
     def interp(coords_ps, limit):
-        """hat-function interpolation matrix [P, limit] (summed over S)."""
         ok = ((coords_ps >= -1.0) & (coords_ps <= limit)).astype(jnp.float32)
         c = jnp.clip(coords_ps, 0.0, limit - 1.0)
         grid = jax.lax.broadcasted_iota(
             jnp.int32, (pooled, ratio, limit), 2
         ).astype(jnp.float32)
         hat = jnp.maximum(1.0 - jnp.abs(c[..., None] - grid), 0.0)
-        hat = hat * ok[..., None]
-        return jnp.sum(hat, axis=1)  # [P, limit]
+        return jnp.sum(hat * ok[..., None], axis=1)  # [P, limit]
 
-    Ay = interp(y1 + off * bin_h, H)   # [P, H]
-    Ax = interp(x1 + off * bin_w, W)   # [P, W]
+    feat = feat_ref[0, 0].astype(jnp.float32)  # [H, W, C] — loaded once
 
-    feat = feat_ref[0, 0].astype(jnp.float32)  # [H, W, C]
-    # tmp[p, w, c] = sum_h Ay[p, h] feat[h, w, c]
-    tmp = jax.lax.dot_general(
-        Ay, feat, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    # out[q, p, c] = sum_w Ax[q, w] tmp[p, w, c]
-    out = jax.lax.dot_general(
-        Ax, tmp, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [Q, P, C]
-    out = jnp.swapaxes(out, 0, 1) / (ratio * ratio)  # [P, Q, C]
-    out_ref[0, 0, 0] = out.astype(out_ref.dtype)
+    def tube_body(n, _):
+        x1 = boxes_smem[b, n, t, 0] * scale
+        y1 = boxes_smem[b, n, t, 1] * scale
+        x2 = boxes_smem[b, n, t, 2] * scale
+        y2 = boxes_smem[b, n, t, 3] * scale
+        bin_w = jnp.maximum(x2 - x1, 1.0) / pooled
+        bin_h = jnp.maximum(y2 - y1, 1.0) / pooled
+        Ay = interp(y1 + off * bin_h, H)
+        Ax = interp(x1 + off * bin_w, W)
+        tmp = jax.lax.dot_general(
+            Ay, feat, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        out = jax.lax.dot_general(
+            Ax, tmp, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        out_ref[0, n, 0] = (jnp.swapaxes(out, 0, 1) / (ratio * ratio)).astype(
+            out_ref.dtype
+        )
+        return ()
+
+    jax.lax.fori_loop(0, N, tube_body, ())
 
 
 def _tube_roi_align_pallas_raw(
@@ -94,21 +96,21 @@ def _tube_roi_align_pallas_raw(
         features = jnp.pad(features, ((0, 0),) * 4 + ((0, C_pad),))
         C = C + C_pad
     kernel = functools.partial(
-        _kernel, pooled=pooled, ratio=ratio, scale=scale, H=H, W=W
+        _kernel_all_tubes, pooled=pooled, ratio=ratio, scale=scale, H=H, W=W, N=N
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, N, Tp),
+        grid=(B, Tp),
         in_specs=[
             pl.BlockSpec(
                 (1, 1, H, W, C),
-                lambda b, n, t, *refs: (b, t, 0, 0, 0),
+                lambda b, t, *refs: (b, t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 1, pooled, pooled, C),
-            lambda b, n, t, *refs: (b, n, t, 0, 0, 0),
+            (1, N, 1, pooled, pooled, C),
+            lambda b, t, *refs: (b, 0, t, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
