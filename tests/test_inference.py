@@ -107,3 +107,21 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     with pytest.raises(FileNotFoundError):
         restore_checkpoint(os.path.join(str(tmp_path), "empty"), fresh)
+
+
+def test_make_detect_fns_jit_wrappers(det):
+    from step_tpu.inference import make_detect_fn, make_detect_video_fn
+    from step_tpu.models.detector import STEPDetector as _D
+
+    model, variables = det
+    B, T = 1, CFG.total_frames
+    rgb = jnp.asarray(np.random.RandomState(5).rand(B, T, 32, 32, 3), jnp.float32)
+    props, pmask = _D.initial_proposals(CFG, B)
+    detect = make_detect_fn(CFG, model)
+    out = detect(variables, rgb, props, pmask)
+    assert out["tubes"].shape == (B, CFG.max_proposals, T, 4)
+
+    clips = jnp.asarray(np.random.RandomState(6).rand(2, T, 32, 32, 3), jnp.float32)
+    detect_v = make_detect_video_fn(CFG, model)
+    out_v = detect_v(variables, clips)
+    assert out_v["link_paths"].shape == (CFG.num_classes, 2)
