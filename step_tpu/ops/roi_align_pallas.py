@@ -37,8 +37,15 @@ from step_tpu.ops.roi_align import tube_roi_align as _tube_roi_align_ref
 def _kernel_all_tubes(boxes_smem, feat_ref, out_ref, *, pooled: int, ratio: int,
                       scale: float, H: int, W: int, N: int):
     """Grid (B, T'): the feature slice lands in VMEM once and an in-kernel
-    loop pools all N tubes from it (v1's grid (B, N, T') re-fetched the same
-    slice N times and lost to the XLA matmul path on HBM traffic)."""
+    loop pools all N tubes from it.
+
+    Measured on v5e (B=8, N=16, T'=5, C=832, bf16): 2.17 ms vs 1.12 ms for
+    the pure-XLA matmul formulation — the serial per-tube fori is the limit;
+    XLA batches the interpolation contractions across (N, T') into large
+    MXU matmuls. The XLA path is therefore the default (`roi_impl="matmul"`)
+    and this kernel is the parity-exact selectable alternative; beating XLA
+    would need the tube axis folded into one batched contraction, which
+    Mosaic's dot_general support doesn't cover today (see TODO.md)."""
     b = pl.program_id(0)
     t = pl.program_id(1)
 
