@@ -32,24 +32,39 @@ class TubeAugmentConfig:
 
 
 class TubeAugment:
-    """Augment (frames [T,H,W,3] in [0,1], tubes [G,T,4], mask [G])."""
+    """Augment (frames [T,H,W,3] in [0,1], tubes [G,T,4], mask [G]).
+
+    With `flow` ([T,H,W,2] in [-1,1], channels = (x, y) displacement), every
+    **geometric** transform applies identically to the flow field so it stays
+    spatially registered with the RGB stream and the GT tubes: expand pastes
+    flow onto a zero-motion canvas, crop uses the same window, and horizontal
+    flip both mirrors the field and negates its x component. Photometric
+    distortion is RGB-only (flow is not an image).
+    """
 
     def __init__(self, cfg: TubeAugmentConfig = TubeAugmentConfig()):
         self.cfg = cfg
 
-    def __call__(self, frames, tubes, gt_mask, rng: np.random.RandomState):
+    def __call__(self, frames, tubes, gt_mask, rng: np.random.RandomState,
+                 flow=None):
         frames = frames.copy()
         tubes = tubes.copy()
         c = self.cfg
+        # rng draw order is identical with and without flow → same transforms.
         if rng.rand() < c.photometric_prob:
             frames = self._photometric(frames, rng)
         if rng.rand() < c.expand_prob:
-            frames, tubes = self._expand(frames, tubes, rng)
+            frames, tubes, flow = self._expand(frames, tubes, rng, flow)
         if rng.rand() < c.crop_prob:
-            frames, tubes, gt_mask = self._crop(frames, tubes, gt_mask, rng)
+            frames, tubes, gt_mask, flow = self._crop(
+                frames, tubes, gt_mask, rng, flow
+            )
         if rng.rand() < c.hflip_prob:
-            frames, tubes = self._hflip(frames, tubes)
-        return np.clip(frames, 0.0, 1.0), tubes, gt_mask
+            frames, tubes, flow = self._hflip(frames, tubes, flow)
+        frames = np.clip(frames, 0.0, 1.0)
+        if flow is None:
+            return frames, tubes, gt_mask
+        return frames, tubes, gt_mask, flow
 
     # ------------------------------------------------------------- pieces
     def _photometric(self, frames, rng):
@@ -61,15 +76,18 @@ class TubeAugment:
         frames = gray + (frames - gray) * rng.uniform(*c.saturation_range)
         return frames
 
-    def _hflip(self, frames, tubes):
+    def _hflip(self, frames, tubes, flow=None):
         W = frames.shape[2]
         frames = frames[:, :, ::-1]
         x1 = W - tubes[..., 2]
         x2 = W - tubes[..., 0]
         tubes = np.stack([x1, tubes[..., 1], x2, tubes[..., 3]], -1)
-        return frames, tubes
+        if flow is not None:
+            flow = flow[:, :, ::-1].copy()
+            flow[..., 0] = -flow[..., 0]  # mirrored motion points the other way
+        return frames, tubes, flow
 
-    def _expand(self, frames, tubes, rng):
+    def _expand(self, frames, tubes, rng, flow=None):
         """Zoom out: paste the clip into a larger mean-colored canvas."""
         T, H, W, C = frames.shape
         ratio = rng.uniform(1.0, self.cfg.expand_max_ratio)
@@ -79,9 +97,13 @@ class TubeAugment:
         canvas = np.full((T, nH, nW, C), frames.mean(), frames.dtype)
         canvas[:, top : top + H, left : left + W] = frames
         tubes = tubes + np.asarray([left, top, left, top], tubes.dtype)
-        return canvas, tubes
+        if flow is not None:
+            fcanvas = np.zeros((T, nH, nW, flow.shape[-1]), flow.dtype)
+            fcanvas[:, top : top + H, left : left + W] = flow
+            flow = fcanvas
+        return canvas, tubes, flow
 
-    def _crop(self, frames, tubes, gt_mask, rng):
+    def _crop(self, frames, tubes, gt_mask, rng, flow=None):
         """Random crop keeping >= crop_min_overlap of every valid GT box."""
         T, H, W, _ = frames.shape
         c = self.cfg
@@ -111,8 +133,10 @@ class TubeAugment:
                 tubes = tubes - np.asarray([left, top, left, top], tubes.dtype)
                 tubes[..., 0::2] = np.clip(tubes[..., 0::2], 0, cw)
                 tubes[..., 1::2] = np.clip(tubes[..., 1::2], 0, ch)
-                return frames, tubes, gt_mask
-        return frames, tubes, gt_mask
+                if flow is not None:
+                    flow = flow[:, top : top + ch, left : left + cw]
+                return frames, tubes, gt_mask, flow
+        return frames, tubes, gt_mask, flow
 
 
 def resize_clip(frames: np.ndarray, tubes: np.ndarray, size: int):

@@ -30,8 +30,15 @@ from step_tpu.data.augmentations import TubeAugment, resize_clip
 from step_tpu.data.ucf import _load_image
 
 
-def read_ava_csv(path: str):
-    """→ {(video, timestamp): [(box[4] normalized, action_0based, person_id)]}"""
+def read_ava_csv(path: str, label_map=None):
+    """→ {(video, timestamp): [(box[4] normalized, dense_class, person_id)]}
+
+    With `label_map` (an `eval.ava_eval.AVALabelMap`), sparse 1-based AVA
+    action ids map to dense class indices and rows whose action is not an
+    evaluated class are dropped — matching the official evaluator's
+    whitelist (60 evaluated classes out of sparse ids 1..80). Without, ids
+    are assumed dense-contiguous (stored as id-1, unfiltered).
+    """
     ann = defaultdict(list)
     with open(path, newline="") as f:
         for row in csv.reader(f):
@@ -39,7 +46,10 @@ def read_ava_csv(path: str):
                 continue
             video, ts = row[0], float(row[1])
             box = np.asarray([float(x) for x in row[2:6]], np.float32)
-            action = int(row[6]) - 1
+            aid = int(row[6])
+            action = label_map.dense(aid) if label_map is not None else aid - 1
+            if label_map is not None and action < 0:
+                continue
             pid = int(row[7]) if len(row) > 7 else -1
             ann[(video, ts)].append((box, action, pid))
     return dict(ann)
@@ -56,30 +66,52 @@ class AVADataset:
         fps: int = 30,
         augment: bool = False,
         excluded_keyframes: Optional[set] = None,
+        label_map=None,
+        exclusions_file: Optional[str] = None,
     ):
         self.root = root
         self.cfg = cfg
         self.fps = fps
         self.augment = TubeAugment() if augment else None
-        self.annotations = read_ava_csv(os.path.join(root, annotation_file))
-        excluded = excluded_keyframes or set()
+        self.label_map = label_map
+        self.annotations = read_ava_csv(
+            os.path.join(root, annotation_file), label_map
+        )
+        excluded = set(excluded_keyframes or ())
+        if exclusions_file:
+            from step_tpu.eval.ava_eval import read_exclusions
+
+            excluded |= read_exclusions(os.path.join(root, exclusions_file))
+        self.excluded = excluded
         self.keyframes = [k for k in sorted(self.annotations) if k not in excluded]
 
     def __len__(self):
         return len(self.keyframes)
 
+    #: frame file layout; override for non-standard extractions
+    #: (receives root, video, frame_num).
+    frame_template = "{root}/frames/{video}/{video}_{frame:06d}.jpg"
+
     def _frame_path(self, video: str, frame_num: int) -> str:
-        return os.path.join(
-            self.root, "frames", video, f"{video}_{frame_num:06d}.jpg"
+        return self.frame_template.format(
+            root=self.root, video=video, frame=frame_num
         )
 
     def clip_frame_numbers(self, timestamp: float) -> np.ndarray:
+        """Frame numbers for the clip around a keyframe.
+
+        The lower end clamps to frame 1 (AVA numbering is 1-based). There is
+        no upper clamp — video length is unknown here; frames past the video
+        tail have no file on disk and `__getitem__` forward-fills them with
+        the last decoded frame (boundary-repeat padding, matching the
+        reference's behavior of repeating edge frames at video boundaries).
+        """
         cfg = self.cfg
         T = cfg.total_frames
         center = int(round(timestamp * self.fps))
         start = center - (T // 2) * cfg.temporal_stride
         idx = start + np.arange(T) * cfg.temporal_stride
-        return np.maximum(idx, 1)  # AVA frame numbering is 1-based
+        return np.maximum(idx, 1)
 
     def _gt_for_keyframe(self, key, img_hw):
         """Merge per-person action rows into multi-hot GT."""
@@ -97,14 +129,22 @@ class AVADataset:
             if 0 <= action < C:
                 slot["actions"].append(action)
 
-        for g, slot in enumerate(by_person.values()):
+        g = 0
+        for slot in by_person.values():
             if g >= G:
                 break
+            if not slot["actions"]:
+                # A person whose actions all fall outside the evaluated class
+                # set carries no usable supervision — an all-zero multi-hot
+                # target would train a forced-matched proposal as pure
+                # background. Skip the slot entirely.
+                continue
             box = slot["box"] * np.asarray([W, H, W, H], np.float32)
             gt_tubes[g] = np.tile(box[None], (T, 1))
             for a in slot["actions"]:
                 gt_labels[g, a] = 1.0
             gt_mask[g] = 1.0
+            g += 1
         return gt_tubes, gt_labels, gt_mask
 
     def __getitem__(self, i: int) -> dict:
@@ -140,9 +180,13 @@ class AVADataset:
         }
 
     def groundtruth(self):
-        """GT in `ava_frame_map` format (normalized coords)."""
+        """GT in `ava_frame_map` format (normalized coords), restricted to
+        in-range classes and non-excluded keyframes — the same filtering
+        `_gt_for_keyframe` applies, so train and eval see one GT set."""
+        C = self.cfg.num_classes
         gt = []
-        for key, rows in self.annotations.items():
-            for box, action, pid in rows:
-                gt.append((key, action, box))
+        for key in self.keyframes:
+            for box, action, pid in self.annotations[key]:
+                if 0 <= action < C:
+                    gt.append((key, action, box))
         return gt

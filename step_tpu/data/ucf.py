@@ -185,7 +185,12 @@ class UCFDataset:
 
         if self.augment is not None:
             rng = np.random.RandomState(zlib.crc32(f"{video}:{center}".encode()))
-            frames, gt_tubes, gt_mask = self.augment(frames, gt_tubes, gt_mask, rng)
+            if flow is not None:
+                frames, gt_tubes, gt_mask, flow = self.augment(
+                    frames, gt_tubes, gt_mask, rng, flow=flow
+                )
+            else:
+                frames, gt_tubes, gt_mask = self.augment(frames, gt_tubes, gt_mask, rng)
 
         frames, gt_tubes = resize_clip(frames, gt_tubes, cfg.image_size)
         gt_tubes = np.clip(gt_tubes, 0, cfg.image_size)

@@ -196,7 +196,12 @@ def evaluate_ava(
     dump_path: Optional[str] = None,
     max_batches: Optional[int] = None,
 ):
-    """AVA-style eval: keyframe frame-mAP@0.5 (normalized coords)."""
+    """AVA-style eval: keyframe frame-mAP@0.5 (normalized coords).
+
+    Per-class NMS runs on device inside `detect_clip` (reference: test.py's
+    score-threshold + per-class NMS before dumping detections); this driver
+    reads the NMS survivors at the keyframe (central frame) only.
+    """
     model = model or STEPDetector(cfg)
     from step_tpu.data.loader import DataLoader
 
@@ -207,6 +212,7 @@ def evaluate_ava(
     def detect(variables, rgb, proposals, prop_mask):
         return detect_clip(variables, rgb, proposals, prop_mask, cfg, model)
 
+    kf = cfg.total_frames // 2
     detections = []
     for bi, batch in enumerate(loader.epoch(0)):
         if max_batches is not None and bi >= max_batches:
@@ -217,18 +223,17 @@ def evaluate_ava(
             jnp.asarray(batch["proposals"]),
             jnp.asarray(batch["prop_mask"]),
         )
-        # keyframe = central frame; tube score applies to its box
-        T = cfg.total_frames
-        tubes = np.asarray(out["tubes"])[:, :, T // 2]      # [B, P, 4]
-        tscores = np.asarray(out["tube_scores"])            # [B, P, C]
+        boxes = np.asarray(out["frame_boxes"])[:, kf]    # [B, C, K, 4]
+        scores = np.asarray(out["frame_scores"])[:, kf]  # [B, C, K]
+        mask = np.asarray(out["frame_mask"])[:, kf]
         for b, meta in enumerate(batch["meta"]):
             key = (meta["video"], meta["timestamp"])
-            for p in range(tubes.shape[1]):
-                box = tubes[b, p] / cfg.image_size           # normalized
-                for c in range(tscores.shape[2]):
-                    s = tscores[b, p, c]
-                    if s > cfg.score_thresh:
-                        detections.append((key, c, float(s), box))
+            keep = np.argwhere((mask[b] > 0) & (scores[b] > cfg.score_thresh))
+            for c, k in keep:
+                detections.append(
+                    (key, int(c), float(scores[b, c, k]),
+                     boxes[b, c, k] / cfg.image_size)     # normalized
+                )
     if dump_path:
         with open(dump_path, "wb") as f:
             pickle.dump({"detections": detections}, f)

@@ -189,6 +189,40 @@ def test_augmentations_keep_tubes_consistent():
     assert out_f.min() >= 0 and out_f.max() <= 1
 
 
+def test_augment_keeps_flow_registered_with_rgb():
+    """Geometric transforms must move flow exactly like RGB; hflip must also
+    negate flow-x (a mirrored scene moves the other way)."""
+    rng = np.random.RandomState(3)
+    T, H, W = 2, 40, 60
+    frames = np.zeros((T, H, W, 3), np.float32)
+    flow = np.zeros((T, H, W, 2), np.float32)
+    # a marker blob co-located in both streams, with flow-x = +0.5
+    frames[:, 10:14, 20:24] = 1.0
+    flow[:, 10:14, 20:24, 0] = 0.5
+    tubes = np.tile(np.asarray([18, 8, 26, 16], np.float32), (1, T, 1))
+    mask = np.asarray([1.0])
+
+    aug = TubeAugment(TubeAugmentConfig(hflip_prob=1.0, photometric_prob=0.0,
+                                        expand_prob=1.0, crop_prob=1.0,
+                                        crop_min_overlap=0.1))
+    out_f, out_t, out_m, out_flow = aug(frames, tubes, mask, rng, flow=flow)
+    assert out_f.shape[:3] == out_flow.shape[:3]
+    # marker pixels coincide after expand+crop+flip
+    rgb_hot = out_f[0, :, :, 0] > 0.5
+    flow_hot = np.abs(out_flow[0, :, :, 0]) > 0.25
+    assert rgb_hot.any()
+    np.testing.assert_array_equal(rgb_hot, flow_hot)
+    # hflip negated the x component
+    assert out_flow[0, :, :, 0][flow_hot].max() <= -0.25 + 1e-6
+
+    # without flow the same rng seed yields the same RGB/tubes (draw-order
+    # invariance)
+    rng2 = np.random.RandomState(3)
+    out_f2, out_t2, _ = aug(frames, tubes, mask, rng2)
+    np.testing.assert_allclose(out_f, out_f2)
+    np.testing.assert_allclose(out_t, out_t2)
+
+
 def test_resize_clip_scales_boxes():
     frames = np.zeros((2, 40, 80, 3), np.float32)
     tubes = np.asarray([[[8, 4, 16, 8], [8, 4, 16, 8]]], np.float32)
