@@ -31,7 +31,10 @@ from step_tpu.utils.init import init_detector_cpu
 enable_compile_cache()
 
 REF_CLIPS_PER_SEC = 20.0  # documented proxy, see module docstring
-TARGET_MULTIPLier = 5.0
+TARGET_MULTIPLE = 5.0
+# v5e (TPU v5 lite) peak bf16 throughput per chip — used for the MFU field,
+# which is chip-relative and proxy-free (unlike vs_baseline).
+PEAK_BF16_FLOPS = 197e12
 
 BATCH = 64   # throughput sweet spot from the batch sweep (see VALIDATION.md)
 ITERS = 30
@@ -84,6 +87,22 @@ def main():
     dt = _chained_time(detect, variables, rgb, proposals, prop_mask, ITERS) / ITERS
     clips_per_sec = BATCH / dt
 
+    # ---- MFU from XLA's own FLOP count (per batched call) ----
+    mfu = None
+    try:
+        cost = (
+            detect.lower(variables, rgb, proposals, prop_mask)
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            mfu = flops / dt / PEAK_BF16_FLOPS
+    except Exception:
+        pass
+
     # ---- p50 latency proxy (batch 1, chained mean) ----
     rgb1, props1, pmask1 = rgb[:1], proposals[:1], prop_mask[:1]
     lat = _chained_time(detect, variables, rgb1, props1, pmask1, ITERS) / ITERS
@@ -93,7 +112,8 @@ def main():
         "metric": "clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),
         "unit": "clips/s",
-        "vs_baseline": round(clips_per_sec / (TARGET_MULTIPLier * REF_CLIPS_PER_SEC), 3),
+        "vs_baseline": round(clips_per_sec / (TARGET_MULTIPLE * REF_CLIPS_PER_SEC), 3),
+        "mfu": round(mfu, 4) if mfu is not None else None,
         "p50_latency_ms": round(p50_ms, 2),
         "batch": BATCH,
         "compile_s": round(compile_s, 1),

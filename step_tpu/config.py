@@ -36,6 +36,13 @@ class StepConfig:
     two_stream: bool = False            # RGB + optical-flow trunks, late-fused
     feature_stride: int = 16            # spatial stride at the shared-feature cut (Mixed_4f)
     compute_dtype: str = "bfloat16"     # MXU-friendly; params stay float32
+    # Space-to-depth first conv: same parameters/output, ~2x better MXU
+    # channel utilization on the 3-channel input (ops/stem_conv.py).
+    stem_s2d: bool = True
+    # Route inference BN+ReLU through the Pallas fused kernel
+    # (ops/fused_bn_relu.py). Off by default: measure before enabling — XLA
+    # usually fuses the BN affine + relu into the conv epilogue already.
+    fused_bn_relu: bool = False
 
     # ---- progressive refinement ----
     num_steps: int = 3                  # S — refinement steps, run as fixed-trip lax.scan

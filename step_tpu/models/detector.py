@@ -90,6 +90,7 @@ class _StepBody(nn.Module):
             num_frames=T,
             dropout_rate=cfg.dropout_rate,
             depth=cfg.backbone_depth,
+            fuse_bn_relu=cfg.fused_bn_relu,
             dtype=jnp.dtype(cfg.compute_dtype),
             name="head",
         )
@@ -139,6 +140,7 @@ class STEPDetector(nn.Module):
         # preprocessing). XLA folds the affine into the first conv.
         rgb = device_preprocess(rgb)
         feat = FeatureNet(two_stream=cfg.two_stream, depth=cfg.backbone_depth,
+                           s2d=cfg.stem_s2d, fuse_bn_relu=cfg.fused_bn_relu,
                            dtype=dtype, name="features")(
             rgb.astype(dtype), None if flow is None else flow.astype(dtype), train
         )

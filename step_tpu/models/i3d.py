@@ -44,8 +44,67 @@ BN_EPS = 1e-3
 BN_MOMENTUM = 0.9
 
 
+class _S2DConv(nn.Module):
+    """Space-to-depth conv with an nn.Conv-identical parameter (scope name
+    "conv", param "kernel", original [kt,kh,kw,C,F] shape/init) so
+    checkpoints and the torch converter are oblivious to the transform."""
+
+    features: int
+    kernel: Tuple[int, int, int]
+    stride: Tuple[int, int, int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from step_tpu.ops.stem_conv import space_to_depth_conv3d
+
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        return space_to_depth_conv3d(
+            x.astype(self.dtype), k.astype(self.dtype), self.stride
+        )
+
+
+class _FusedBNReLU(nn.Module):
+    """Inference-only fused BN+ReLU (Pallas) with nn.BatchNorm-compatible
+    variables (params 'scale'/'bias', batch_stats 'mean'/'var') so the same
+    checkpoint drives either path."""
+
+    epsilon: float = BN_EPS
+
+    @nn.compact
+    def __call__(self, x):
+        from step_tpu.ops.fused_bn_relu import bn_relu_inference
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((C,), jnp.float32)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((C,), jnp.float32)
+        )
+        interpret = jax.default_backend() != "tpu"
+        return bn_relu_inference(
+            x, scale, bias, mean.value, var.value, self.epsilon,
+            interpret=interpret,
+        )
+
+
 class Unit3D(nn.Module):
-    """Conv3D + BatchNorm + ReLU (reference ``Unit3Dpy``)."""
+    """Conv3D + BatchNorm + ReLU (reference ``Unit3Dpy``).
+
+    `s2d=True` (spatial stride must be (2,2)) runs the conv in
+    space-to-depth form (see ops/stem_conv.py) — same parameters, same
+    output, far better MXU channel utilization on thin inputs.
+    `fuse_bn_relu=True` routes inference through the Pallas fused BN+ReLU
+    kernel; training always uses flax BatchNorm (running-stat updates).
+    """
 
     features: int
     kernel: Tuple[int, int, int] = (1, 1, 1)
@@ -53,20 +112,28 @@ class Unit3D(nn.Module):
     use_bn: bool = True
     use_relu: bool = True
     use_bias: bool = False
+    s2d: bool = False
+    fuse_bn_relu: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
-            self.features,
-            kernel_size=self.kernel,
-            strides=self.stride,
-            padding="SAME",
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if self.s2d:
+            x = _S2DConv(self.features, self.kernel, self.stride,
+                         dtype=self.dtype, name="conv")(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                kernel_size=self.kernel,
+                strides=self.stride,
+                padding="SAME",
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         if self.use_bn:
+            if self.fuse_bn_relu and self.use_relu and not train:
+                return _FusedBNReLU(name="bn")(x)
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=BN_MOMENTUM,
@@ -94,12 +161,14 @@ class InceptionBlock(nn.Module):
     """Inflated Inception module: four parallel branches, channel-concat."""
 
     channels: Sequence[int]  # (b0, b1r, b1, b2r, b2, b3)
+    fuse_bn_relu: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = self.channels
-        u = lambda f, k, name: Unit3D(f, k, dtype=self.dtype, name=name)
+        u = lambda f, k, name: Unit3D(f, k, fuse_bn_relu=self.fuse_bn_relu,
+                                      dtype=self.dtype, name=name)
         b0 = u(c[0], (1, 1, 1), "b0")(x, train)
         b1 = u(c[1], (1, 1, 1), "b1a")(x, train)
         b1 = u(c[2], (3, 3, 3), "b1b")(b1, train)
@@ -124,29 +193,38 @@ class I3DStem(nn.Module):
     """
 
     depth: str = "full"
+    s2d: bool = False
+    fuse_bn_relu: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        unit = lambda f, k, s, name: Unit3D(
+            f, k, s, s2d=self.s2d and s[1:] == (2, 2),
+            fuse_bn_relu=self.fuse_bn_relu, dtype=self.dtype, name=name,
+        )
+        block = lambda ch, name: InceptionBlock(
+            ch, fuse_bn_relu=self.fuse_bn_relu, dtype=self.dtype, name=name
+        )
         if self.depth == "tiny":
             tiny_a = (16, 16, 24, 8, 16, 8)    # out 64
             tiny_b = (32, 24, 48, 8, 24, 24)   # out 128
-            x = Unit3D(16, (3, 7, 7), (2, 2, 2), dtype=self.dtype, name="Conv3d_1a_7x7")(x, train)
+            x = unit(16, (3, 7, 7), (2, 2, 2), "Conv3d_1a_7x7")(x, train)
             x = max_pool_3d(x, (1, 3, 3), (1, 2, 2))
-            x = InceptionBlock(tiny_a, dtype=self.dtype, name="Mixed_3b")(x, train)
+            x = block(tiny_a, "Mixed_3b")(x, train)
             x = max_pool_3d(x, (3, 3, 3), (2, 2, 2))
-            x = InceptionBlock(tiny_b, dtype=self.dtype, name="Mixed_4f")(x, train)
+            x = block(tiny_b, "Mixed_4f")(x, train)
             return x
-        x = Unit3D(64, (7, 7, 7), (2, 2, 2), dtype=self.dtype, name="Conv3d_1a_7x7")(x, train)
+        x = unit(64, (7, 7, 7), (2, 2, 2), "Conv3d_1a_7x7")(x, train)
         x = max_pool_3d(x, (1, 3, 3), (1, 2, 2))
-        x = Unit3D(64, (1, 1, 1), dtype=self.dtype, name="Conv3d_2b_1x1")(x, train)
-        x = Unit3D(192, (3, 3, 3), dtype=self.dtype, name="Conv3d_2c_3x3")(x, train)
+        x = unit(64, (1, 1, 1), (1, 1, 1), "Conv3d_2b_1x1")(x, train)
+        x = unit(192, (3, 3, 3), (1, 1, 1), "Conv3d_2c_3x3")(x, train)
         x = max_pool_3d(x, (1, 3, 3), (1, 2, 2))
         for name in ("Mixed_3b", "Mixed_3c"):
-            x = InceptionBlock(INCEPTION_CHANNELS[name], dtype=self.dtype, name=name)(x, train)
+            x = block(INCEPTION_CHANNELS[name], name)(x, train)
         x = max_pool_3d(x, (3, 3, 3), (2, 2, 2))
         for name in ("Mixed_4b", "Mixed_4c", "Mixed_4d", "Mixed_4e", "Mixed_4f"):
-            x = InceptionBlock(INCEPTION_CHANNELS[name], dtype=self.dtype, name=name)(x, train)
+            x = block(INCEPTION_CHANNELS[name], name)(x, train)
         return x
 
 
@@ -161,17 +239,20 @@ class I3DTail(nn.Module):
 
     pool_5a: bool = False
     depth: str = "full"
+    fuse_bn_relu: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        block = lambda ch, name: InceptionBlock(
+            ch, fuse_bn_relu=self.fuse_bn_relu, dtype=self.dtype, name=name
+        )
         if self.pool_5a:
             x = max_pool_3d(x, (2, 2, 2), (2, 2, 2))
         if self.depth == "tiny":
-            return InceptionBlock((32, 24, 48, 8, 24, 24), dtype=self.dtype,
-                                  name="Mixed_5c")(x, train)
-        x = InceptionBlock(INCEPTION_CHANNELS["Mixed_5b"], dtype=self.dtype, name="Mixed_5b")(x, train)
-        x = InceptionBlock(INCEPTION_CHANNELS["Mixed_5c"], dtype=self.dtype, name="Mixed_5c")(x, train)
+            return block((32, 24, 48, 8, 24, 24), "Mixed_5c")(x, train)
+        x = block(INCEPTION_CHANNELS["Mixed_5b"], "Mixed_5b")(x, train)
+        x = block(INCEPTION_CHANNELS["Mixed_5c"], "Mixed_5c")(x, train)
         return x
 
 
@@ -184,12 +265,16 @@ class I3DClassifier(nn.Module):
 
     num_classes: int = 400
     dropout_rate: float = 0.5
+    s2d: bool = False
+    fuse_bn_relu: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = I3DStem(dtype=self.dtype, name="stem")(x, train)
-        x = I3DTail(pool_5a=True, dtype=self.dtype, name="tail")(x, train)
+        x = I3DStem(s2d=self.s2d, fuse_bn_relu=self.fuse_bn_relu,
+                    dtype=self.dtype, name="stem")(x, train)
+        x = I3DTail(pool_5a=True, fuse_bn_relu=self.fuse_bn_relu,
+                    dtype=self.dtype, name="tail")(x, train)
         # global spatial average pool, keep time; then 1x1x1 conv logits
         x = jnp.mean(x, axis=(2, 3), keepdims=True)  # [B, T', 1, 1, 1024]
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)

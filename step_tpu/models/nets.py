@@ -38,17 +38,23 @@ class FeatureNet(nn.Module):
 
     two_stream: bool = False
     depth: str = "full"
+    s2d: bool = False
+    fuse_bn_relu: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, rgb, flow=None, train: bool = False):
-        feat = I3DStem(depth=self.depth, dtype=self.dtype, name="stem_rgb")(rgb, train)
+        stem = lambda name: I3DStem(depth=self.depth, s2d=self.s2d,
+                                    fuse_bn_relu=self.fuse_bn_relu,
+                                    dtype=self.dtype, name=name)
+        feat = stem("stem_rgb")(rgb, train)
         if self.two_stream:
             if flow is None:
                 raise ValueError("two_stream=True requires a flow input")
-            flow_feat = I3DStem(depth=self.depth, dtype=self.dtype, name="stem_flow")(flow, train)
+            flow_feat = stem("stem_flow")(flow, train)
             feat = jnp.concatenate([feat, flow_feat], axis=-1)
-            feat = Unit3D(832, (1, 1, 1), dtype=self.dtype, name="fusion")(feat, train)
+            feat = Unit3D(832, (1, 1, 1), fuse_bn_relu=self.fuse_bn_relu,
+                          dtype=self.dtype, name="fusion")(feat, train)
         return feat
 
 
@@ -81,6 +87,7 @@ class TwoBranchHead(nn.Module):
     num_frames: int                 # T — input-frame resolution of reg outputs
     dropout_rate: float = 0.3
     depth: str = "full"
+    fuse_bn_relu: bool = False
     reg_channels: int = 64          # 1x1 channel reduction before the
                                     # spatially-flattened regression Dense
     dtype: jnp.dtype = jnp.float32
@@ -89,7 +96,8 @@ class TwoBranchHead(nn.Module):
     def __call__(self, pooled, ctx=None, tprime_mask=None, train: bool = False):
         """pooled [P, T', 7, 7, C]; ctx [P, ctx_dim] or None; tprime_mask [T']."""
         P, Tp = pooled.shape[0], pooled.shape[1]
-        x = I3DTail(depth=self.depth, dtype=self.dtype, name="tail")(pooled, train)  # [P,T',7,7,1024]
+        x = I3DTail(depth=self.depth, fuse_bn_relu=self.fuse_bn_relu,
+                    dtype=self.dtype, name="tail")(pooled, train)  # [P,T',7,7,1024]
 
         # ---- classification branch ----
         spatial = jnp.mean(x, axis=(2, 3))  # [P, T', 1024]

@@ -56,6 +56,70 @@ def test_i3d_classifier():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.parametrize("kernel,H,W", [((7, 7, 7), 32, 32), ((3, 7, 7), 33, 30),
+                                        ((7, 7, 7), 31, 35), ((1, 3, 3), 16, 16)])
+def test_s2d_conv_matches_lax_same_conv(kernel, H, W):
+    """space_to_depth_conv3d must be bit-equivalent (f32 tolerance) to the
+    plain stride-(2,2,2) TF-SAME conv it replaces."""
+    from step_tpu.ops.stem_conv import space_to_depth_conv3d
+
+    rng = np.random.RandomState(0)
+    C, F = 3, 8
+    x = jnp.asarray(rng.randn(2, 6, H, W, C), jnp.float32)
+    k = jnp.asarray(rng.randn(*kernel, C, F) * 0.1, jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, k, window_strides=(2, 2, 2), padding="SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    out = space_to_depth_conv3d(x, k, (2, 2, 2))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_unit3d_s2d_same_params_same_output():
+    """Unit3D(s2d=True) shares the parameter tree with the plain path and
+    produces the same activations from the same variables."""
+    from step_tpu.models.i3d import Unit3D
+
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 6, 32, 32, 3), jnp.float32)
+    plain = Unit3D(16, (7, 7, 7), (2, 2, 2), s2d=False)
+    s2d = Unit3D(16, (7, 7, 7), (2, 2, 2), s2d=True)
+    v = plain.init(jax.random.PRNGKey(0), x)
+    v2 = s2d.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.map(jnp.shape, v) == jax.tree.map(jnp.shape, v2)
+    np.testing.assert_allclose(
+        np.asarray(plain.apply(v, x)), np.asarray(s2d.apply(v, x)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_unit3d_fused_bn_relu_matches_batchnorm_inference():
+    """Unit3D(fuse_bn_relu=True) at inference == BatchNorm+ReLU path, from
+    identical variables (incl. non-trivial running stats)."""
+    from step_tpu.models.i3d import Unit3D
+
+    x = jnp.asarray(np.random.RandomState(2).randn(2, 4, 8, 8, 3), jnp.float32)
+    plain = Unit3D(8, (3, 3, 3))
+    fused = Unit3D(8, (3, 3, 3), fuse_bn_relu=True)
+    v = plain.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree.map(jnp.shape, fused.init(jax.random.PRNGKey(0), x))
+            == jax.tree.map(jnp.shape, v))
+    # roll the running stats off their init values
+    rng = np.random.RandomState(3)
+    v = jax.tree.map(lambda a: a, v)
+    bs = dict(v["batch_stats"])
+    bs["bn"] = {
+        "mean": jnp.asarray(rng.randn(8), jnp.float32) * 0.5,
+        "var": jnp.asarray(rng.rand(8), jnp.float32) + 0.5,
+    }
+    v = {"params": v["params"], "batch_stats": bs}
+    ref = plain.apply(v, x, train=False)
+    out = fused.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_feature_time_indices():
     np.testing.assert_array_equal(np.asarray(feature_time_indices(4, 4)), [0, 1, 2, 3])
     np.testing.assert_array_equal(np.asarray(feature_time_indices(18, 5)), [1, 5, 9, 12, 16])
