@@ -99,6 +99,58 @@ def test_conv_kernel_numerics_vs_torch():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
 
 
+def test_full_model_activation_parity_vs_torch_i3d():
+    """End-to-end conversion oracle (VERDICT r1 item 5): build the real
+    torch I3D (TF-SAME semantics, checkpoint key naming), convert its
+    randomly-initialized state_dict, and assert stem/tail/logits activations
+    match layer-by-layer — on odd input sizes so TF-SAME's asymmetric
+    padding (the classic silent killer, SURVEY §7) is exercised."""
+    pytest.importorskip("torch")
+    import torch
+
+    from tests._torch_i3d import TorchI3D, randomize_bn_stats
+
+    torch.manual_seed(0)
+    net = TorchI3D(num_classes=17)
+    randomize_bn_stats(net)
+    net.eval()
+
+    rng = np.random.RandomState(4)
+    # odd T/H/W → asymmetric SAME pads in every strided conv/pool
+    x = rng.randn(1, 9, 39, 39, 3).astype(np.float32) * 0.5
+    with torch.no_grad():
+        xt = torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3)))  # NCDHW
+        stem_t, tail_t, logits_t = net(xt)
+    to_ndhwc = lambda t: np.transpose(t.numpy(), (0, 2, 3, 4, 1))
+
+    converted = convert_torch_i3d(
+        {k: v.numpy() for k, v in net.state_dict().items()}
+    )
+
+    from step_tpu.models.i3d import I3DStem, I3DTail
+
+    stem_vars = {"params": converted["params"]["stem"],
+                 "batch_stats": converted["batch_stats"]["stem"]}
+    stem_j = I3DStem().apply(stem_vars, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(stem_j), to_ndhwc(stem_t),
+                               rtol=1e-3, atol=5e-4)
+
+    tail_vars = {"params": converted["params"]["tail"],
+                 "batch_stats": converted["batch_stats"]["tail"]}
+    tail_j = I3DTail(pool_5a=True).apply(tail_vars, stem_j)
+    np.testing.assert_allclose(np.asarray(tail_j), to_ndhwc(tail_t),
+                               rtol=1e-3, atol=1e-3)
+
+    logits_j = I3DClassifier(num_classes=17).apply(converted, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(logits_j), logits_t.numpy(),
+                               rtol=1e-3, atol=1e-3)
+
+    # the space-to-depth stem must preserve converted-weight parity too
+    stem_s2d = I3DStem(s2d=True).apply(stem_vars, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(stem_s2d), np.asarray(stem_j),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_inflate_rgb_to_flow():
     k = jnp.asarray(np.random.RandomState(0).randn(7, 7, 7, 3, 64).astype(np.float32))
     flow_k = inflate_rgb_to_flow(k, 2)
