@@ -96,7 +96,14 @@ def fit(
 ):
     """Train `cfg` on `loader` (a DataLoader). Returns the final TrainState."""
     model = model or STEPDetector(cfg)
-    mesh = mesh or create_mesh(axis_names=cfg.mesh_axes)
+    if mesh is None:
+        # Pure-DP constraint: the global batch must split evenly over the
+        # data axis. Use every device when possible, otherwise the largest
+        # divisor of batch_size (e.g. batch 2 on an 8-device host → mesh 2).
+        n = len(jax.devices())
+        while cfg.batch_size % n:
+            n -= 1
+        mesh = create_mesh((n,), cfg.mesh_axes)
     state = create_train_state(cfg, jax.random.PRNGKey(seed), model)
     state = jax.device_put(state, replicated_sharding(mesh))
     start_epoch = 0

@@ -22,11 +22,23 @@ def parse_args():
     p.add_argument("--dump", default=None, help="detections pickle output path")
     p.add_argument("--max-batches", type=int, default=None)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--label-map", default=None,
+                   help="AVA label-map pbtxt (evaluated-class whitelist)")
+    p.add_argument("--exclusions", default=None,
+                   help="AVA excluded-timestamps CSV (relative to data root)")
+    p.add_argument("--fps", type=int, default=30,
+                   help="AVA frame-extraction rate (frames per second)")
+    from step_tpu.utils.cli import add_common_args
+
+    add_common_args(p)
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    from step_tpu.utils.cli import apply_overrides, force_platform
+
+    force_platform(args)
     import jax
 
     from step_tpu.config import PRESETS
@@ -37,6 +49,7 @@ def main():
     cfg = PRESETS[args.preset]
     if args.tiny:
         cfg = cfg.replace(backbone_depth="tiny", feature_stride=8)
+    cfg = apply_overrides(cfg, args.overrides)
     model = STEPDetector(cfg)
     state = create_train_state(cfg, jax.random.PRNGKey(0), model)
     state, _ = restore_checkpoint(args.ckpt_dir, state)
@@ -46,8 +59,15 @@ def main():
         from step_tpu.data.ava import AVADataset
         from step_tpu.evaluate import evaluate_ava
 
+        label_map = None
+        if args.label_map:
+            from step_tpu.eval.ava_eval import AVALabelMap
+
+            label_map = AVALabelMap.from_pbtxt(args.label_map)
         dataset = AVADataset(args.data_root, cfg,
-                             args.annotation_file or "ava_val_v2.1.csv")
+                             args.annotation_file or "ava_val_v2.1.csv",
+                             fps=args.fps, label_map=label_map,
+                             exclusions_file=args.exclusions)
         results = evaluate_ava(variables, dataset, cfg, model,
                                dump_path=args.dump, max_batches=args.max_batches)
     else:

@@ -1,0 +1,161 @@
+"""End-to-end CLI coverage (VERDICT r1 item 6): drive the real `train.py`
+and `test.py` scripts via subprocess over miniature on-disk datasets in the
+EXACT real formats (UCF101v2-GT.pkl layout, AVA CSV + pbtxt label map), and
+assert checkpoints, metric logs, detection dumps, and finite mAPs come out.
+
+The subprocesses force --platform cpu (the sitecustomize pins the TPU
+otherwise) and a tiny config via --set overrides.
+"""
+
+import os
+import pickle
+import re
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY_SET = [
+    "--tiny",
+    "--set", "frames_per_chunk=2",
+    "--set", "num_chunks=1",
+    "--set", "num_steps=1",
+    "--set", "iou_thresholds=(0.4,)",
+    "--set", "step_loss_weights=(1.0,)",
+    "--set", "temporal_extension=False",
+    "--set", "image_size=32",
+    "--set", "pooled_size=4",
+    "--set", "max_proposals=12",
+    "--set", "max_gt_tubes=2",
+    "--set", "max_detections=4",
+    "--set", "compute_dtype=float32",
+    "--set", "batch_size=2",
+    "--set", "warmup_steps=1",
+    "--set", "total_steps=4",
+]
+
+
+def run_cli(script, *args, timeout=420):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, script), "--platform", "cpu", *args],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=timeout,
+    )
+    assert proc.returncode == 0, (
+        f"{script} rc={proc.returncode}\nstdout:\n{proc.stdout[-3000:]}\n"
+        f"stderr:\n{proc.stderr[-3000:]}"
+    )
+    return proc.stdout
+
+
+@pytest.fixture(scope="module")
+def mini_ucf(tmp_path_factory):
+    """Miniature dataset in the exact UCF101-24 on-disk layout."""
+    from tests.test_data import _write_jpg
+
+    root = str(tmp_path_factory.mktemp("mini_ucf"))
+    rng = np.random.RandomState(0)
+    H, W = 40, 48
+    nframes = {"Run/v1": 8, "Run/v2": 8, "Jump/v3": 8}
+    gttubes = {}
+    for video, n in nframes.items():
+        cls = 0 if video.startswith("Run") else 1
+        for f in range(n):
+            img = rng.rand(H, W, 3) * 0.3
+            img[10:25, 12:30] = 0.9  # a bright "actor" box
+            _write_jpg(os.path.join(root, "rgb-images", video,
+                                    f"{f + 1:05d}.jpg"), img)
+        frames = np.arange(1, n + 1, dtype=np.float32)
+        tube = np.stack(
+            [frames, np.full_like(frames, 12), np.full_like(frames, 10),
+             np.full_like(frames, 30), np.full_like(frames, 25)], axis=1
+        )
+        gttubes[video] = {cls: [tube]}
+    gt = {
+        "labels": ["Run", "Jump"],
+        "train_videos": [["Run/v1", "Jump/v3"]],
+        "test_videos": [["Run/v2"]],
+        "nframes": nframes,
+        "gttubes": gttubes,
+        "resolution": {v: (H, W) for v in nframes},
+    }
+    with open(os.path.join(root, "UCF101v2-GT.pkl"), "wb") as f:
+        pickle.dump(gt, f)
+    return root
+
+
+@pytest.fixture(scope="module")
+def mini_ava(tmp_path_factory):
+    """Miniature dataset in the exact AVA layout (frames + CSVs + pbtxt)."""
+    from tests.test_data import _write_jpg
+    from tests.test_ava_protocol import PBTXT_ITEM
+
+    root = str(tmp_path_factory.mktemp("mini_ava"))
+    rng = np.random.RandomState(1)
+    for video in ("vidA", "vidB"):
+        for fn in range(1, 40):
+            _write_jpg(os.path.join(root, "frames", video,
+                                    f"{video}_{fn:06d}.jpg"),
+                       rng.rand(40, 48, 3) * 0.5)
+    rows = [
+        "vidA,3,0.1,0.2,0.5,0.9,1,1",     # evaluated (id 1)
+        "vidA,3,0.1,0.2,0.5,0.9,2,1",     # NOT evaluated (dropped)
+        "vidA,4,0.2,0.2,0.6,0.8,80,2",    # evaluated (id 80)
+        "vidB,3,0.3,0.3,0.7,0.7,4,5",     # evaluated (id 4)
+        "vidB,5,0.3,0.3,0.7,0.7,4,5",     # excluded keyframe
+    ]
+    for name in ("ava_train.csv", "ava_val.csv"):
+        with open(os.path.join(root, name), "w") as f:
+            f.write("\n".join(rows))
+    with open(os.path.join(root, "label_map.pbtxt"), "w") as f:
+        f.write(PBTXT_ITEM)
+    with open(os.path.join(root, "excluded.csv"), "w") as f:
+        f.write("vidB,5\n")
+    return root
+
+
+def test_ucf_train_then_test_cli(mini_ucf, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    logs = str(tmp_path / "logs")
+    run_cli("train.py", "--dataset", "ucf101_24", "--data-root", mini_ucf,
+            "--ckpt-dir", ckpt, "--log-dir", logs, "--epochs", "2",
+            "--set", "num_classes=2", *TINY_SET)
+    assert os.path.isdir(ckpt) and os.listdir(ckpt)
+    metrics = open(os.path.join(logs, "metrics.jsonl")).read().splitlines()
+    assert len(metrics) >= 1
+
+    dump = str(tmp_path / "dets.pkl")
+    out = run_cli("test.py", "--preset", "ucf_3step", "--data-root", mini_ucf,
+                  "--ckpt-dir", ckpt, "--dump", dump,
+                  "--set", "num_classes=2", *TINY_SET)
+    m = re.search(r"frame_mAP@0\.5: ([0-9.nan]+)", out)
+    assert m, out
+    assert np.isfinite(float(m.group(1)))
+    assert "video_mAP@0.2" in out
+    with open(dump, "rb") as f:
+        assert "detections" in pickle.load(f)
+
+
+def test_ava_train_then_test_cli(mini_ava, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    lm = os.path.join(mini_ava, "label_map.pbtxt")
+    ava_set = ["--set", "num_classes=3", "--set", "multilabel=True"]
+    run_cli("train.py", "--dataset", "ava", "--data-root", mini_ava,
+            "--annotation-file", "ava_train.csv", "--label-map", lm,
+            "--fps", "5", "--ckpt-dir", ckpt, "--epochs", "2",
+            *TINY_SET, *ava_set)
+    assert os.path.isdir(ckpt) and os.listdir(ckpt)
+
+    dump = str(tmp_path / "dets.pkl")
+    out = run_cli("test.py", "--preset", "ava_3step", "--data-root", mini_ava,
+                  "--annotation-file", "ava_val.csv", "--label-map", lm,
+                  "--exclusions", "excluded.csv", "--fps", "5",
+                  "--ckpt-dir", ckpt, "--dump", dump, *TINY_SET, *ava_set)
+    m = re.search(r"frame_mAP@0\.5: ([0-9.nan]+)", out)
+    assert m, out
+    assert np.isfinite(float(m.group(1)))
+    assert os.path.exists(dump)

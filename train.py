@@ -32,11 +32,21 @@ def parse_args():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true", help="tiny backbone (debug)")
+    p.add_argument("--label-map", default=None,
+                   help="AVA label-map pbtxt (evaluated-class whitelist)")
+    p.add_argument("--exclusions", default=None,
+                   help="AVA excluded-timestamps CSV (relative to data root)")
+    p.add_argument("--fps", type=int, default=30,
+                   help="AVA frame-extraction rate (frames per second)")
+    from step_tpu.utils.cli import add_common_args
+
+    add_common_args(p)
     return p.parse_args()
 
 
 def build_config(args):
     from step_tpu.config import PRESETS, StepConfig
+    from step_tpu.utils.cli import apply_overrides
 
     cfg = PRESETS[args.preset] if args.preset else StepConfig()
     over = {}
@@ -56,7 +66,8 @@ def build_config(args):
         over["two_stream"] = True
     if args.tiny:
         over.update(backbone_depth="tiny", feature_stride=8)
-    return cfg.replace(**over) if over else cfg
+    cfg = cfg.replace(**over) if over else cfg
+    return apply_overrides(cfg, args.overrides)
 
 
 def build_dataset(cfg, args):
@@ -81,9 +92,15 @@ def build_dataset(cfg, args):
     if cfg.dataset == "ava":
         from step_tpu.data.ava import AVADataset
 
+        label_map = None
+        if args.label_map:
+            from step_tpu.eval.ava_eval import AVALabelMap
+
+            label_map = AVALabelMap.from_pbtxt(args.label_map)
         return AVADataset(args.data_root, cfg,
                           args.annotation_file or "ava_train_v2.1.csv",
-                          augment=True)
+                          fps=args.fps, augment=True, label_map=label_map,
+                          exclusions_file=args.exclusions)
     from step_tpu.data.ucf import UCFDataset
 
     return UCFDataset(args.data_root, cfg, split="train",
@@ -93,6 +110,9 @@ def build_dataset(cfg, args):
 
 def main():
     args = parse_args()
+    from step_tpu.utils.cli import force_platform
+
+    force_platform(args)
     cfg = build_config(args)
     from step_tpu.data.loader import DataLoader
     from step_tpu.train.fit import fit
