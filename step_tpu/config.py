@@ -33,7 +33,20 @@ class StepConfig:
                                         #   shallow variant for CPU tests/dryruns;
                                         #   tiny has spatial stride 8 → set
                                         #   feature_stride=8 with it)
-    two_stream: bool = False            # RGB + optical-flow trunks, late-fused
+    two_stream: bool = False            # RGB + optical-flow trunks in ONE model
+    # How two-stream evidence combines:
+    #   "conv": end-to-end 1x1x1 feature fusion inside one model (the
+    #           two_stream=True path; BASELINE config 5's "end-to-end").
+    #   "late": the reference protocol — two SEPARATE single-stream
+    #           detectors (input_stream "rgb" / "flow"), class scores fused
+    #           pre-NMS at test time (inference.detect_clip_late_fusion).
+    two_stream_fusion: str = "conv"
+    # Primary input of a single-stream detector: "rgb" (3ch, normalized on
+    # device) or "flow" (2ch, already in [-1,1]) — "flow" builds the second
+    # detector of the late-fusion protocol.
+    input_stream: str = "rgb"
+    # RGB-stream weight for late score fusion (flow gets 1 - weight).
+    late_fusion_weight: float = 0.5
     feature_stride: int = 16            # spatial stride at the shared-feature cut (Mixed_4f)
     compute_dtype: str = "bfloat16"     # MXU-friendly; params stay float32
     # Space-to-depth first conv: same parameters/output, ~2x better MXU

@@ -95,6 +95,19 @@ def make_clip(seed: int, cfg: SyntheticConfig = SyntheticConfig()):
     }
 
 
+def make_flow(rgb: np.ndarray, scale: float = 8.0) -> np.ndarray:
+    """Derive a flow-like field from a clip: temporal brightness difference
+    projected on x/y image gradients (a cheap optical-flow stand-in; the
+    synthetic boxes move linearly, so real motion IS in the differences).
+    Returns [T, H, W, 2] in [-1, 1] — the flow-stream input format."""
+    gray = rgb.mean(-1)                                   # [T, H, W]
+    dt = np.diff(gray, axis=0, append=gray[-1:])          # forward difference
+    gx = np.gradient(gray, axis=2)
+    gy = np.gradient(gray, axis=1)
+    flow = np.stack([dt * np.sign(gx), dt * np.sign(gy)], -1) * scale
+    return np.clip(flow, -1.0, 1.0).astype(np.float32)
+
+
 def make_batch(seed: int, batch_size: int, cfg: SyntheticConfig = SyntheticConfig()):
     """Stack `batch_size` clips (seeds seed..seed+B-1) into one batch dict."""
     clips = [make_clip(seed + i, cfg) for i in range(batch_size)]

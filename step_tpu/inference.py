@@ -29,34 +29,15 @@ def class_scores_from_logits(cls_logits: jnp.ndarray, cfg: StepConfig) -> jnp.nd
     return probs[..., 1:]  # drop background column
 
 
-def detect_clip(
-    variables,
-    rgb: jnp.ndarray,          # [B, T, H, W, 3]
-    proposals: jnp.ndarray,    # [B, P, T, 4]
+def nms_surface(
+    tubes: jnp.ndarray,        # [B, P, T, 4]
+    scores: jnp.ndarray,       # [B, P, C] — already masked to real proposals
     prop_mask: jnp.ndarray,    # [B, P]
     cfg: StepConfig,
-    model: Optional[STEPDetector] = None,
-    flow: Optional[jnp.ndarray] = None,
 ):
-    """Full detection for a batch of clips.
-
-    Returns dict:
-      tubes        [B, P, T, 4] — final refined tubes
-      tube_scores  [B, P, C]    — per-tube class probabilities
-      frame_boxes  [B, T, C, K, 4], frame_scores [B, T, C, K],
-      frame_mask   [B, T, C, K] — per-frame per-class NMS survivors
-    """
-    model = model or STEPDetector(cfg)
-    outputs = model.apply(variables, rgb, proposals, flow, train=False)
-    tubes = outputs["tubes"][-1]                     # [B, P, T, 4]
-    scores = class_scores_from_logits(outputs["cls_logits"][-1], cfg)  # [B,P,C]
-    # Padding proposal slots are never supervised — their logits are
-    # arbitrary. Zero them at the surface so every consumer (linking,
-    # thresholds, users reading tube_scores) sees only real proposals.
-    scores = scores * prop_mask[..., None]
-
+    """Per-frame per-class NMS over final tubes → the detection surface."""
     # No more than P proposals can survive NMS — never scan past that.
-    max_keep = min(cfg.max_detections, proposals.shape[1])
+    max_keep = min(cfg.max_detections, tubes.shape[1])
 
     def per_frame(boxes_t, scores_b, mask_b):
         # boxes_t [P,4], scores_b [P,C]
@@ -86,6 +67,71 @@ def detect_clip(
         "frame_scores": frame_scores,
         "frame_mask": frame_mask,
     }
+
+
+def detect_clip(
+    variables,
+    rgb: jnp.ndarray,          # [B, T, H, W, 3]
+    proposals: jnp.ndarray,    # [B, P, T, 4]
+    prop_mask: jnp.ndarray,    # [B, P]
+    cfg: StepConfig,
+    model: Optional[STEPDetector] = None,
+    flow: Optional[jnp.ndarray] = None,
+):
+    """Full detection for a batch of clips.
+
+    Returns dict:
+      tubes        [B, P, T, 4] — final refined tubes
+      tube_scores  [B, P, C]    — per-tube class probabilities
+      frame_boxes  [B, T, C, K, 4], frame_scores [B, T, C, K],
+      frame_mask   [B, T, C, K] — per-frame per-class NMS survivors
+    """
+    model = model or STEPDetector(cfg)
+    outputs = model.apply(variables, rgb, proposals, flow, train=False)
+    tubes = outputs["tubes"][-1]                     # [B, P, T, 4]
+    scores = class_scores_from_logits(outputs["cls_logits"][-1], cfg)  # [B,P,C]
+    # Padding proposal slots are never supervised — their logits are
+    # arbitrary. Zero them at the surface so every consumer (linking,
+    # thresholds, users reading tube_scores) sees only real proposals.
+    scores = scores * prop_mask[..., None]
+    return nms_surface(tubes, scores, prop_mask, cfg)
+
+
+def detect_clip_late_fusion(
+    variables_rgb,
+    variables_flow,
+    rgb: jnp.ndarray,          # [B, T, H, W, 3]
+    flow: jnp.ndarray,         # [B, T, H, W, 2] in [-1, 1]
+    proposals: jnp.ndarray,    # [B, P, T, 4]
+    prop_mask: jnp.ndarray,    # [B, P]
+    cfg: StepConfig,
+    model_rgb: Optional[STEPDetector] = None,
+    model_flow: Optional[STEPDetector] = None,
+):
+    """Reference two-stream protocol (``test.py`` two-stream path (recon)):
+    two SEPARATE single-stream detectors, class scores fused pre-NMS.
+
+    Both streams refine the same initial cuboids, so per-proposal score
+    correspondence is meaningful; fused score = w * p_rgb + (1-w) * p_flow
+    (w = cfg.late_fusion_weight). Boxes come from the appearance (RGB)
+    stream, which localizes; flow mainly sharpens classification — the
+    paper's own ablation reads the same way. Runs as one compiled program.
+    """
+    cfg_rgb = cfg.replace(two_stream=False, input_stream="rgb")
+    cfg_flow = cfg.replace(two_stream=False, input_stream="flow")
+    model_rgb = model_rgb or STEPDetector(cfg_rgb)
+    model_flow = model_flow or STEPDetector(cfg_flow)
+
+    out_rgb = model_rgb.apply(variables_rgb, rgb, proposals, None, train=False)
+    out_flow = model_flow.apply(variables_flow, flow, proposals, None, train=False)
+
+    w = cfg.late_fusion_weight
+    scores = (
+        w * class_scores_from_logits(out_rgb["cls_logits"][-1], cfg)
+        + (1.0 - w) * class_scores_from_logits(out_flow["cls_logits"][-1], cfg)
+    )
+    scores = scores * prop_mask[..., None]
+    return nms_surface(out_rgb["tubes"][-1], scores, prop_mask, cfg)
 
 
 def make_detect_fn(cfg: StepConfig, model: Optional[STEPDetector] = None):

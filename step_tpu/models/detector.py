@@ -138,7 +138,10 @@ class STEPDetector(nn.Module):
         # Normalization happens on device, inside the compiled program, so
         # host→device transfers can stay uint8/[0,1] (north-star fused
         # preprocessing). XLA folds the affine into the first conv.
-        rgb = device_preprocess(rgb)
+        # A flow-input detector (late-fusion protocol) receives 2-channel
+        # [-1,1] flow as its primary input — already normalized.
+        if cfg.input_stream == "rgb":
+            rgb = device_preprocess(rgb)
         feat = FeatureNet(two_stream=cfg.two_stream, depth=cfg.backbone_depth,
                            s2d=cfg.stem_s2d, fuse_bn_relu=cfg.fused_bn_relu,
                            dtype=dtype, name="features")(
