@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional
 
 import numpy as np
@@ -81,13 +82,23 @@ class DataLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        # Clip decode/augment parallelizes across `num_workers` threads (cv2
+        # releases the GIL in decode/resize); batch assembly stays ordered.
+        pool = (
+            ThreadPoolExecutor(self.num_workers) if self.num_workers > 1 else None
+        )
+
+        def load_clips(idxs):
+            if pool is None:
+                return [self.dataset[int(i)] for i in idxs]
+            return list(pool.map(lambda i: self.dataset[int(i)], idxs))
 
         def producer():
             try:
                 for bi, idxs in enumerate(batches):
                     if stop.is_set():
                         return
-                    clips = [self.dataset[int(i)] for i in idxs]
+                    clips = load_clips(idxs)
                     raw = collate(clips)
                     batch = build_model_batch(
                         raw, self.cfg, train=self.train,
@@ -112,6 +123,8 @@ class DataLoader:
                 yield batch
         finally:
             stop.set()
+            if pool is not None:
+                pool.shutdown(wait=False)
 
     def __iter__(self):
         return self.epoch(0)

@@ -106,12 +106,16 @@ def fit(
         mesh = create_mesh((n,), cfg.mesh_axes)
     state = create_train_state(cfg, jax.random.PRNGKey(seed), model)
     state = jax.device_put(state, replicated_sharding(mesh))
-    start_epoch = 0
+    start_epoch, start_batch = 0, 0
     if resume and ckpt_dir:
         try:
             state, data_iter = restore_checkpoint(ckpt_dir, state)
             start_epoch = int(data_iter.get("epoch", 0))
-            print(f"resumed from step {int(state.step)} (epoch {start_epoch})", flush=True)
+            start_batch = int(data_iter.get("batch_index", 0))
+            print(
+                f"resumed from step {int(state.step)} "
+                f"(epoch {start_epoch}, batch {start_batch})", flush=True,
+            )
         except FileNotFoundError:
             pass
 
@@ -122,7 +126,11 @@ def fit(
     try:
         for epoch in range(start_epoch, num_epochs):
             t_last = time.time()
-            for batch in loader.epoch(epoch):
+            for bi, batch in enumerate(loader.epoch(epoch)):
+                # exact resume: skip batches already consumed before the
+                # checkpoint (deterministic per-epoch order)
+                if epoch == start_epoch and bi < start_batch:
+                    continue
                 device_batch = shard_batch(
                     {k: jnp.asarray(v) for k, v in batch.items() if k in _BATCH_KEYS},
                     mesh,
@@ -135,12 +143,15 @@ def fit(
                     metrics,
                     {
                         "epoch": epoch,
+                        "batch_index": bi,
                         "clips_per_sec": cfg.batch_size / max(now - t_last, 1e-6),
                     },
                 )
                 t_last = now
                 if ckpt_dir and step % ckpt_every == 0:
-                    save_checkpoint(ckpt_dir, state, {"epoch": epoch, "next_seed": step})
+                    save_checkpoint(
+                        ckpt_dir, state, {"epoch": epoch, "batch_index": bi + 1}
+                    )
                 if step >= cfg.total_steps:
                     break
             if eval_fn is not None and (epoch + 1) % eval_every_epochs == 0:
@@ -149,7 +160,7 @@ def fit(
             if int(state.step) >= cfg.total_steps:
                 break
         if ckpt_dir:
-            save_checkpoint(ckpt_dir, state, {"epoch": num_epochs, "next_seed": 0},
+            save_checkpoint(ckpt_dir, state, {"epoch": num_epochs, "batch_index": 0},
                             wait=True)
     finally:
         logger.close()

@@ -18,8 +18,13 @@ from step_tpu.train.trainer import TrainState
 
 
 def _normalize_iter_state(data_iter_state: Optional[dict]) -> dict:
-    """Fixed data-iterator schema so save/restore templates always match."""
-    out = {"epoch": 0, "next_seed": 0}
+    """Fixed data-iterator schema so save/restore templates always match.
+
+    `epoch` + `batch_index` pin the exact position inside the deterministic
+    per-epoch batch order (DataLoader shuffles with seed+epoch), so fit()
+    resumes mid-epoch without replaying already-seen batches.
+    """
+    out = {"epoch": 0, "batch_index": 0}
     if data_iter_state:
         for k in out:
             if k in data_iter_state:

@@ -74,6 +74,31 @@ def test_fit_trains_checkpoints_and_resumes(tmp_path):
     assert int(state2.step) >= CFG.total_steps
 
 
+def test_fit_resumes_mid_epoch_without_replaying_batches(tmp_path):
+    """Preemption semantics: a checkpoint taken after batch k of an epoch
+    resumes at batch k (deterministic order), not at the epoch start."""
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    logs = os.path.join(str(tmp_path), "logs")
+    from step_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh((1,), ("data",), devices=jax.devices()[:1])
+    # 8 clips / batch 2 → 4 batches per epoch; stop after 2 steps
+    cfg2 = CFG.replace(total_steps=2)
+    loader = DataLoader(SynDataset(), cfg2, train=True, num_workers=1)
+    fit(cfg2, loader, num_epochs=1, ckpt_dir=ckpt, log_dir=logs,
+        ckpt_every=1, mesh=mesh)
+
+    # resume with a higher step budget: first consumed batch must be index 2
+    cfg4 = CFG.replace(total_steps=4)
+    fit(cfg4, loader, num_epochs=1, ckpt_dir=ckpt, log_dir=logs,
+        ckpt_every=100, resume=True, mesh=mesh)
+    recs = [json.loads(l) for l in
+            open(os.path.join(logs, "metrics.jsonl")).read().splitlines()]
+    resumed = [r for r in recs if r["step"] > 2]
+    assert resumed and resumed[0]["batch_index"] == 2
+    assert [r["batch_index"] for r in recs] == [0, 1, 2, 3]
+
+
 @pytest.fixture(scope="module")
 def trained_ucf(tmp_path_factory):
     """Reuse the UCF fixture machinery from test_data via a local copy."""

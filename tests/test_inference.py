@@ -95,13 +95,14 @@ def test_checkpoint_roundtrip(tmp_path):
     state = create_train_state(CFG, jax.random.PRNGKey(0))
     state = state.replace(step=state.step + 7)
     ckpt_dir = os.path.join(str(tmp_path), "ckpt")
-    saved_step = save_checkpoint(ckpt_dir, state, {"next_seed": 123}, wait=True)
+    saved_step = save_checkpoint(ckpt_dir, state, {"epoch": 2, "batch_index": 123},
+                                 wait=True)
     assert saved_step == 7
 
     fresh = create_train_state(CFG, jax.random.PRNGKey(1))
     restored, data_iter = restore_checkpoint(ckpt_dir, fresh)
     assert int(restored.step) == 7
-    assert data_iter["next_seed"] == 123
+    assert data_iter == {"epoch": 2, "batch_index": 123}
     a = jax.tree_util.tree_leaves(state.params)[0]
     b = jax.tree_util.tree_leaves(restored.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
