@@ -60,10 +60,17 @@ class StepConfig:
     # ---- progressive refinement ----
     num_steps: int = 3                  # S — refinement steps, run as fixed-trip lax.scan
     num_proposals: int = 11             # initial hand-placed cuboids (paper §3.1)
-    max_proposals: int = 16             # static padded proposal capacity (>= num_proposals)
+    # Static padded proposal capacity (>= num_proposals). 16 measured FASTER
+    # than the tight 11 despite 5 dead slots riding the per-step I3D tail
+    # (v5e B=64: 337 vs 281 clips/s, p50 6.3 vs 9.1 ms) — XLA pads the
+    # proposal axis to tile boundaries anyway, and the unaligned axis adds
+    # relayouts. Keep it a multiple of 8.
+    max_proposals: int = 16
     pooled_size: int = 7                # ROI-align output grid (7x7)
     sampling_ratio: int = 2             # bilinear samples per pooled bin per axis
-    roi_impl: str = "matmul"            # "matmul" (XLA MXU contraction, default)
+    roi_impl: str = "kron"              # "kron" (fused Kronecker contraction,
+                                        #   fastest measured — scripts/bench_roi.py)
+                                        # | "matmul" (separable two-stage XLA)
                                         # | "pallas" (Pallas kernel)
                                         # | "gather" (scalar-semantics reference)
     temporal_extension: bool = True     # step>=2 extends tubes into neighbor chunks

@@ -71,6 +71,13 @@ class _StepBody(nn.Module):
                 feat, tubes, cfg.pooled_size, 1.0 / cfg.feature_stride,
                 cfg.sampling_ratio,
             )                               # [B, P, T', 7, 7, C]
+        elif cfg.roi_impl == "kron":
+            from step_tpu.ops.roi_align import batched_tube_roi_align_kron
+
+            pooled = batched_tube_roi_align_kron(
+                feat, tubes, cfg.pooled_size, 1.0 / cfg.feature_stride,
+                cfg.sampling_ratio,
+            )                               # [B, P, T', 7, 7, C]
         else:
             pooled = jax.vmap(
                 lambda f, tb: tube_roi_align(

@@ -120,10 +120,14 @@ class TwoBranchHead(nn.Module):
                     name="reg_reduce")(x)                  # [P, T', 7, 7, c]
         r = nn.relu(r)
         r = r.reshape(P, Tp, -1)                           # [P, T', 7*7*c]
-        r = jax.image.resize(
-            r, (P, self.num_frames, r.shape[-1]), method="linear"
-        )
         r = nn.Dropout(self.dropout_rate, deterministic=not train)(r)
+        # Dense then temporal resize (they commute — both linear, orthogonal
+        # axes): contracting the 7*7*c grid BEFORE interpolating to T avoids
+        # materializing a [P, T, 7*7*c] intermediate (~100 MB/step at the
+        # production shape). Dropout masks apply at T' resolution.
         deltas = nn.Dense(4, dtype=self.dtype, name="reg",
                           kernel_init=nn.initializers.normal(1e-3))(r)
-        return cls_logits.astype(jnp.float32), deltas.astype(jnp.float32)
+        deltas = jax.image.resize(
+            deltas.astype(jnp.float32), (P, self.num_frames, 4), method="linear"
+        )
+        return cls_logits.astype(jnp.float32), deltas

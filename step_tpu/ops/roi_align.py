@@ -170,6 +170,60 @@ def roi_align_matmul(
     return (out / (sampling_ratio * sampling_ratio)).astype(features.dtype)
 
 
+def kron_interp_weights(
+    boxes: jnp.ndarray,   # [..., N, 4]
+    pooled: int,
+    scale: float,
+    ratio: int,
+    H: int,
+    W: int,
+) -> jnp.ndarray:
+    """Fused Kronecker interpolation weights: [..., N*P*P, H*W].
+
+    K2[(n,p,q), (h,w)] = A_y[n,p,h] * A_x[n,q,w] — ROI-align of ALL tubes
+    and bins becomes ONE matmul against the flattened feature slice
+    ([N*P*P, H*W] x [H*W, C]), an MXU-shaped contraction (K = H*W ≈ 196)
+    instead of per-tube K = H ≈ 14 slivers. 1/(S*S) averaging is folded in.
+    """
+    N = boxes.shape[-2]
+    ys, xs = roi_sample_coords(boxes, pooled, scale, ratio)   # [..., N, P, S]
+    Ay = interp_matrix(ys, H)                                 # [..., N, P, H]
+    Ax = interp_matrix(xs, W)                                 # [..., N, P, W]
+    k = (Ay[..., :, :, None, :, None] * Ax[..., :, None, :, None, :]
+         / (ratio * ratio))                                   # [..., N,P,P,H,W]
+    return k.reshape(*k.shape[:-5], N * pooled * pooled, H * W)
+
+
+def batched_tube_roi_align_kron(
+    features: jnp.ndarray,   # [B, T', H, W, C]
+    tubes: jnp.ndarray,      # [B, N, T, 4]
+    pooled_size: int = 7,
+    spatial_scale: float = 1.0 / 16.0,
+    sampling_ratio: int = 2,
+    time_indices: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Batched tube ROI-align via the fused Kronecker contraction (pure
+    XLA). Same semantics as vmapping `tube_roi_align`; the single (h, w)
+    sum reassociates floats vs the separable two-stage path (allclose, not
+    bit-exact). → [B, N, T', pooled, pooled, C]."""
+    B, Tp, H, W, C = features.shape
+    N, T = tubes.shape[1], tubes.shape[2]
+    if time_indices is None:
+        if T == Tp:
+            time_indices = jnp.arange(Tp)
+        else:
+            time_indices = ((jnp.arange(Tp) + 0.5) * (T / Tp)).astype(jnp.int32)
+    boxes = jnp.take(tubes, time_indices, axis=2)             # [B, N, T', 4]
+    boxes = jnp.swapaxes(boxes, 1, 2)                         # [B, T', N, 4]
+    k2 = kron_interp_weights(
+        boxes, pooled_size, spatial_scale, sampling_ratio, H, W
+    )                                                          # [B, T', R, K]
+    feat2 = features.reshape(B, Tp, H * W, C).astype(jnp.float32)
+    out = jnp.einsum("btrk,btkc->btrc", k2, feat2)            # [B, T', R, C]
+    out = out.reshape(B, Tp, N, pooled_size, pooled_size, C)
+    return jnp.swapaxes(out, 1, 2).astype(features.dtype)
+
+
 def roi_pool(
     features: jnp.ndarray,
     boxes: jnp.ndarray,

@@ -1,22 +1,40 @@
-"""Pallas TPU kernel: tube-of-interest ROI-align as interpolation matmuls.
+"""Pallas TPU kernel: tube-of-interest ROI-align as one fused MXU matmul.
 
 The north-star TPU-native replacement for the reference's CUDA ROIAlign
 (``external/maskrcnn_benchmark/csrc/cuda/ROIAlign_cuda.cu`` (recon)).
 
 A scalar gather-pool kernel is the GPU idiom; on TPU, dynamic scalar
 indexing of VMEM sublanes is alignment-restricted (Mosaic rejects it) and
-gathers waste the MXU. Instead we use the separable-bilinear identity (see
-``roi_align.roi_align_matmul``): per (clip, slice) — with the feature slice
-resident in VMEM once and an in-kernel loop over tubes — build the two
-interpolation matrices A_y [P, H], A_x [P, W] from the box scalars with
-broadcasted iota (VPU), then pool with two MXU contractions:
+gathers waste the MXU. The bilinear sample at clamped coordinate c is the
+hat function (1 - |c - h|)+ over grid points, so ROI-align is exactly a
+pair of interpolation matrices (see ``roi_align.roi_align_matmul``).
 
-    tmp = A_y · feat      [P, W, C]
-    out = A_x · tmpᵀ      [P, P, C]
+Kernel history (all timings: v5e, B=8, N=16, T'=5, C=832, bf16, chained
+dependency timing — `scripts/bench_roi.py`):
+  * v2 kept the feature slice VMEM-resident and `fori`-looped over tubes,
+    issuing 2N tiny dots per program (K = H ≈ 14): the MXU idled.
+  * v3 (this kernel) folds ALL tubes/bins into ONE contraction per (b, t')
+    program over prebuilt Kronecker weights
 
-Semantics match the Detectron reference bit-for-bit (same hat-function
-weights, clamping, and out-of-range masking) — enforced by parity tests in
-interpret mode and on hardware.
+        K2[(n,p,q), (h,w)] = A_y[n,p,h] * A_x[n,q,w]
+
+    i.e. ``out[(n,p,q), c] = K2 · feat[(h,w), c]`` — an
+    [N*P*P, H*W] x [H*W, C] matmul (M=784, K=196, N=832): a well-shaped
+    MXU tile instead of 2N K=14 slivers. K2 is built OUTSIDE the kernel in
+    XLA (Mosaic rejects the [N,P,P,H,W]→[NPP,HW] trailing-dim reshape and
+    multi-dim `dot_general` contractions in-kernel).
+
+    Measured: separable XLA matmul path 41.3 ms; this kernel 3.43 ms
+    (12.1x); the SAME Kronecker contraction as a plain XLA einsum
+    (`roi_align.batched_tube_roi_align_kron`) 2.34 ms (17.6x) — XLA
+    pipelines the batched matmul better than the one-program-per-(b,t')
+    grid, so **"kron" is the default `roi_impl`** and this kernel remains
+    the selectable, parity-tested alternative.
+
+Semantics match the Detectron reference (same hat weights, clamping,
+out-of-range masking); the fused contraction reassociates the (h, w) sum,
+so parity vs the two-stage reference is allclose (1e-4 tests), not
+bit-exact.
 
 Backward: custom VJP through XLA autodiff of the jnp reference (identical
 math → exact gradients).
@@ -34,57 +52,17 @@ from jax.experimental.pallas import tpu as pltpu
 from step_tpu.ops.roi_align import tube_roi_align as _tube_roi_align_ref
 
 
-def _kernel_all_tubes(boxes_smem, feat_ref, out_ref, *, pooled: int, ratio: int,
-                      scale: float, H: int, W: int, N: int):
-    """Grid (B, T'): the feature slice lands in VMEM once and an in-kernel
-    loop pools all N tubes from it.
-
-    Measured on v5e (B=8, N=16, T'=5, C=832, bf16): 2.17 ms vs 1.12 ms for
-    the pure-XLA matmul formulation — the serial per-tube fori is the limit;
-    XLA batches the interpolation contractions across (N, T') into large
-    MXU matmuls. The XLA path is therefore the default (`roi_impl="matmul"`)
-    and this kernel is the parity-exact selectable alternative; beating XLA
-    would need the tube axis folded into one batched contraction, which
-    Mosaic's dot_general support doesn't cover today (see TODO.md)."""
-    b = pl.program_id(0)
-    t = pl.program_id(1)
-
-    p_ids = jax.lax.broadcasted_iota(jnp.int32, (pooled, ratio), 0).astype(jnp.float32)
-    s_ids = jax.lax.broadcasted_iota(jnp.int32, (pooled, ratio), 1).astype(jnp.float32)
-    off = p_ids + (s_ids + 0.5) / ratio
-
-    def interp(coords_ps, limit):
-        ok = ((coords_ps >= -1.0) & (coords_ps <= limit)).astype(jnp.float32)
-        c = jnp.clip(coords_ps, 0.0, limit - 1.0)
-        grid = jax.lax.broadcasted_iota(
-            jnp.int32, (pooled, ratio, limit), 2
-        ).astype(jnp.float32)
-        hat = jnp.maximum(1.0 - jnp.abs(c[..., None] - grid), 0.0)
-        return jnp.sum(hat * ok[..., None], axis=1)  # [P, limit]
-
-    feat = feat_ref[0, 0].astype(jnp.float32)  # [H, W, C] — loaded once
-
-    def tube_body(n, _):
-        x1 = boxes_smem[b, n, t, 0] * scale
-        y1 = boxes_smem[b, n, t, 1] * scale
-        x2 = boxes_smem[b, n, t, 2] * scale
-        y2 = boxes_smem[b, n, t, 3] * scale
-        bin_w = jnp.maximum(x2 - x1, 1.0) / pooled
-        bin_h = jnp.maximum(y2 - y1, 1.0) / pooled
-        Ay = interp(y1 + off * bin_h, H)
-        Ax = interp(x1 + off * bin_w, W)
-        tmp = jax.lax.dot_general(
-            Ay, feat, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        out = jax.lax.dot_general(
-            Ax, tmp, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        out_ref[0, n, 0] = (jnp.swapaxes(out, 0, 1) / (ratio * ratio)).astype(
-            out_ref.dtype
-        )
-        return ()
-
-    jax.lax.fori_loop(0, N, tube_body, ())
+def _kernel_kron_matmul(k2_ref, feat_ref, out_ref):
+    """Grid (B, T'): k2 block [1, 1, R, K] (prebuilt Kronecker weights),
+    feature block [1, 1, K, C] (flattened (h, w)), output [1, 1, R, C].
+    One MXU contraction per program; the weight construction happens
+    outside the kernel (XLA), where reshapes are unrestricted."""
+    out_ref[0, 0] = jax.lax.dot_general(
+        k2_ref[0, 0],
+        feat_ref[0, 0].astype(jnp.float32),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
 
 
 def _tube_roi_align_pallas_raw(
@@ -94,39 +72,35 @@ def _tube_roi_align_pallas_raw(
     scale: float,
     ratio: int,
 ) -> jnp.ndarray:
+    from step_tpu.ops.roi_align import kron_interp_weights
+
     B, Tp, H, W, C = features.shape
     N = boxes.shape[1]
-    # Lane-align the channel axis: Mosaic's (W, C) -> (W*C) relayout inside
-    # the rank-3 contraction is only a no-op when C is a multiple of 128.
-    C_pad = (-C) % 128
-    if C_pad:
-        features = jnp.pad(features, ((0, 0),) * 4 + ((0, C_pad),))
-        C = C + C_pad
-    kernel = functools.partial(
-        _kernel_all_tubes, pooled=pooled, ratio=ratio, scale=scale, H=H, W=W, N=N
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    R, K = N * pooled * pooled, H * W
+    boxes_tn = jnp.swapaxes(boxes, 1, 2)                    # [B, T', N, 4]
+    k2 = kron_interp_weights(boxes_tn, pooled, scale, ratio, H, W)  # [B,T',R,K]
+    feat2 = features.reshape(B, Tp, K, C)
+    out = pl.pallas_call(
+        _kernel_kron_matmul,
         grid=(B, Tp),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, H, W, C),
-                lambda b, t, *refs: (b, t, 0, 0, 0),
+                (1, 1, R, K), lambda b, t: (b, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, K, C), lambda b, t: (b, t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, N, 1, pooled, pooled, C),
-            lambda b, t, *refs: (b, 0, t, 0, 0, 0),
+            (1, 1, R, C), lambda b, t: (b, t, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, N, Tp, pooled, pooled, C), features.dtype),
-    )(boxes.astype(jnp.float32), features)
-    return out[..., : C - C_pad] if C_pad else out
+        out_shape=jax.ShapeDtypeStruct((B, Tp, R, C), features.dtype),
+    )(k2, feat2)
+    out = out.reshape(B, Tp, N, pooled, pooled, C)
+    return jnp.swapaxes(out, 1, 2)                          # [B, N, T', P, P, C]
 
 
 def tube_roi_align_pallas(

@@ -155,6 +155,54 @@ def test_roi_align_matmul_matches_gather(pooled, ratio):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("pooled,ratio", [(7, 2), (3, 1)])
+def test_batched_kron_matches_reference(pooled, ratio):
+    """The fused Kronecker contraction (default roi_impl) == the per-tube
+    gather semantics, including time mapping, spills, and tiny boxes."""
+    from step_tpu.ops.roi_align import batched_tube_roi_align_kron, tube_roi_align
+
+    rng = np.random.RandomState(3)
+    B, Tp, H, W, C = 2, 3, 10, 12, 8
+    N, T = 5, 6
+    feat = jnp.asarray(rng.randn(B, Tp, H, W, C).astype(np.float32))
+    base = np.asarray(
+        [[10, 10, 100, 100], [-20, -20, 60, 60], [120, 120, 170, 170],
+         [40, 40, 42, 42], [150, 100, 260, 260]],
+        np.float32,
+    )
+    tubes = np.tile(base[None, :, None, :], (B, 1, T, 1))
+    tubes += rng.randn(*tubes.shape).astype(np.float32) * 3
+    tubes = jnp.asarray(tubes)
+
+    got = batched_tube_roi_align_kron(feat, tubes, pooled, 1 / 16.0, ratio)
+    want = jax.vmap(
+        lambda f, t: tube_roi_align(f, t, pooled, 1 / 16.0, ratio, impl="gather")
+    )(feat, tubes)
+    assert got.shape == want.shape == (B, N, Tp, pooled, pooled, C)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_batched_kron_differentiable():
+    """Gradients flow to both features and boxes through the kron path
+    (it is the training-time pooling when roi_impl='kron')."""
+    from step_tpu.ops.roi_align import batched_tube_roi_align_kron
+
+    rng = np.random.RandomState(4)
+    feat = jnp.asarray(rng.randn(1, 2, 8, 8, 4).astype(np.float32))
+    tubes = jnp.asarray(
+        np.tile(np.asarray([[30, 20, 90, 110]], np.float32)[None, :, None],
+                (1, 1, 2, 1))
+    )
+
+    def loss(f, t):
+        return jnp.sum(batched_tube_roi_align_kron(f, t, 3, 1 / 16.0, 2) ** 2)
+
+    gf, gt = jax.grad(loss, argnums=(0, 1))(feat, tubes)
+    assert np.isfinite(np.asarray(gf)).all() and np.abs(np.asarray(gf)).max() > 0
+    assert np.isfinite(np.asarray(gt)).all() and np.abs(np.asarray(gt)).max() > 0
+
+
 def np_roi_pool(feat, boxes, pooled, scale):
     """Scalar oracle: legacy Fast-R-CNN quantized ROI max-pool."""
     N, C = boxes.shape[0], feat.shape[-1]
