@@ -53,8 +53,11 @@ class StepConfig:
     # channel utilization on the 3-channel input (ops/stem_conv.py).
     stem_s2d: bool = True
     # Route inference BN+ReLU through the Pallas fused kernel
-    # (ops/fused_bn_relu.py). Off by default: measure before enabling — XLA
-    # usually fuses the BN affine + relu into the conv epilogue already.
+    # (ops/fused_bn_relu.py). MEASURED SLOWER than XLA's own conv-epilogue
+    # fusion on the full detect program (v5e B=64: 288 vs 167 ms/batch —
+    # each pallas_call is a fusion boundary, so the BN+ReLU that XLA would
+    # fold into the conv becomes a separate HBM round-trip). Kept as the
+    # parity-tested demonstration kernel; leave False in production.
     fused_bn_relu: bool = False
 
     # ---- progressive refinement ----

@@ -9,7 +9,16 @@ fused with the ReLU into one VMEM pass. One elementwise kernel tiled over
 the flattened leading axes; channels stay on lanes.
 
 Training mode keeps flax BatchNorm (it must update running stats); the
-detector only routes through this kernel when running inference.
+detector only routes through this kernel when running inference
+(``config.fused_bn_relu``).
+
+**Measured verdict (v5e, full ucf_3step detect, B=64, chained timing):
+288 ms/batch with this kernel vs 167 ms with plain flax BN+ReLU** — XLA
+already folds the inference-BN affine and the ReLU into the producing
+conv's epilogue, while every ``pallas_call`` is a fusion boundary that
+forces the activation through HBM twice. The kernel stays as the
+parity-tested demonstration of the north-star fusion; the flag defaults
+off. (scripts/bench_fused_bn.py reproduces the measurement.)
 """
 
 from __future__ import annotations
