@@ -26,9 +26,13 @@ def chained(fn, feat, tubes, iters=ITERS):
     out = fn(feat, tubes)
     jax.block_until_ready(out)
     t0 = time.time()
-    for _ in range(iters):
+    for i in range(iters):
         out = fn(feat, tubes)
-        tubes = tubes + jnp.mean(out).astype(tubes.dtype) * 1e-9
+        # Perturbation must be LARGE enough to change tubes in f32 — a
+        # +1e-9 on O(100) coordinates rounds away entirely, every dispatch
+        # is bit-identical, and the relay memoizes it (garbage timings).
+        tubes = tubes * (1.0 + 1e-4) + jnp.mean(
+            out.astype(jnp.float32)) * 1e-3 + i * 1e-3
     jax.block_until_ready(tubes)
     return (time.time() - t0) / iters
 

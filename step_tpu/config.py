@@ -52,6 +52,15 @@ class StepConfig:
     # Space-to-depth first conv: same parameters/output, ~2x better MXU
     # channel utilization on the 3-channel input (ops/stem_conv.py).
     stem_s2d: bool = True
+    # 3D-conv lowering (ops/conv3d.py). MEASURED at the full-program level
+    # (scripts/bench_impls.py, v5e B=64): "direct" 220 ms/batch vs "tcat"
+    # 447 / "sum3" 448 — XLA-TPU already lowers the conv3d HLO well IN
+    # CONTEXT and fuses its pads/epilogues, while the hand decompositions
+    # materialize tap concats/shifted copies through HBM. (Standalone
+    # microbenches that said otherwise were relay-memoization artifacts —
+    # see scripts/bench_conv3d.py docstring.) Keep "direct"; "tcat"/"sum3"
+    # stay selectable and parity-tested (tests/test_conv3d.py).
+    conv3d_impl: str = "direct"
     # Route inference BN+ReLU through the Pallas fused kernel
     # (ops/fused_bn_relu.py). MEASURED SLOWER than XLA's own conv-epilogue
     # fusion on the full detect program (v5e B=64: 288 vs 167 ms/batch —
@@ -93,6 +102,11 @@ class StepConfig:
     nms_thresh: float = 0.5
     max_detections: int = 32            # static cap on per-frame per-class survivors
     link_iou_weight: float = 1.0        # cross-clip linking: score + w * IoU
+    # Tube-level temporal NMS: after cross-clip linking, suppress video tubes
+    # of the same (video, class) whose spatio-temporal IoU with a
+    # higher-scored kept tube exceeds this. 0 disables (reference behavior:
+    # linking alone de-duplicates; this catches parallel duplicate chains).
+    tube_nms_thresh: float = 0.0
 
     # ---- training ----
     batch_size: int = 8

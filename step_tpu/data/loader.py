@@ -47,6 +47,8 @@ class DataLoader:
         num_workers: int = 4,
         prefetch: int = 4,
         drop_last: bool = True,
+        process_count: int = 1,
+        process_index: int = 0,
     ):
         self.dataset = dataset
         self.cfg = cfg
@@ -57,17 +59,28 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.process_count = process_count
+        self.process_index = process_index
 
     def __len__(self):
-        n = len(self.dataset) // self.batch_size
-        if not self.drop_last and len(self.dataset) % self.batch_size:
+        n = self._num_local_examples() // self.batch_size
+        if not self.drop_last and self._num_local_examples() % self.batch_size:
             n += 1
         return n
 
+    def _num_local_examples(self) -> int:
+        return len(self.dataset) // self.process_count
+
     def _epoch_order(self, epoch: int) -> np.ndarray:
+        """Deterministic per-epoch order; multi-host, every process draws the
+        SAME global shuffle (seeded) and takes its strided slice, truncated
+        to equal length so per-host batch counts match (SPMD requirement)."""
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.RandomState(self.seed + epoch).shuffle(idx)
+        if self.process_count > 1:
+            idx = idx[self.process_index::self.process_count]
+            idx = idx[: self._num_local_examples()]
         return idx
 
     def epoch(self, epoch: int = 0) -> Iterator[dict]:

@@ -57,13 +57,18 @@ def average_precision(scores: np.ndarray, tp: np.ndarray, num_gt: int) -> float:
 
 # ---------------------------------------------------------------- frame mAP
 
-def frame_map(
+def match_detections(
     detections: Sequence[Tuple],   # (frame_key, class_id, score, box[4])
     groundtruth: Sequence[Tuple],  # (frame_key, class_id, box[4])
     num_classes: int,
     iou_threshold: float = 0.5,
 ) -> Dict:
-    """Frame-level mean AP. Returns {'mAP', 'ap_per_class', 'num_gt'}."""
+    """Greedy per-class detection↔GT matching (the VOC protocol core).
+
+    Returns {cls: (scores [N], tp [N] bool)} plus the per-class GT counts —
+    shared by `frame_map` (AP) and the per-class score calibration fitter
+    (eval/calibration.py), so both label TPs identically.
+    """
     gt_by_cf = defaultdict(list)
     gt_count = np.zeros(num_classes, np.int64)
     for frame_key, cls, box in groundtruth:
@@ -74,7 +79,7 @@ def frame_map(
     for frame_key, cls, score, box in detections:
         det_by_class[cls].append((float(score), frame_key, np.asarray(box, np.float32)))
 
-    ap = np.full(num_classes, np.nan, np.float64)
+    matched = {}
     for cls in range(num_classes):
         dets = sorted(det_by_class[cls], key=lambda d: -d[0])
         used = {k: np.zeros(len(v), bool) for k, v in gt_by_cf.items() if k[0] == cls}
@@ -90,6 +95,22 @@ def frame_map(
                 if j >= 0 and ious[j] >= iou_threshold:
                     tp[i] = True
                     used[key][j] = True
+        matched[cls] = (scores, tp)
+    return {"matched": matched, "num_gt": gt_count}
+
+
+def frame_map(
+    detections: Sequence[Tuple],   # (frame_key, class_id, score, box[4])
+    groundtruth: Sequence[Tuple],  # (frame_key, class_id, box[4])
+    num_classes: int,
+    iou_threshold: float = 0.5,
+) -> Dict:
+    """Frame-level mean AP. Returns {'mAP', 'ap_per_class', 'num_gt'}."""
+    m = match_detections(detections, groundtruth, num_classes, iou_threshold)
+    gt_count = m["num_gt"]
+    ap = np.full(num_classes, np.nan, np.float64)
+    for cls in range(num_classes):
+        scores, tp = m["matched"][cls]
         ap[cls] = average_precision(scores, tp, int(gt_count[cls]))
 
     valid = ~np.isnan(ap)

@@ -160,6 +160,43 @@ def link_frame_detections(
     return out
 
 
+def tube_nms(pred_tubes, iou_thresh: float):
+    """Tube-level temporal NMS over linked video tubes.
+
+    Greedy per (video, class): keep the highest-scored tube, drop any lower
+    tube whose spatio-temporal IoU (temporal IoU x mean spatial IoU on
+    shared frames, the UCF101-24 matching metric) with a kept tube is
+    >= iou_thresh. Complements `link_frame_detections`, which only merges
+    detections *into chains* — two parallel chains over the same actor
+    (e.g. from NMS survivors of adjacent proposals) survive linking and are
+    collapsed here.
+
+    Args:
+      pred_tubes: [(video, class, score, {frame: box})] from linking.
+      iou_thresh: suppression threshold; <= 0 returns the input unchanged.
+
+    Returns the surviving tubes, original order not preserved (sorted by
+    descending score within each (video, class) group).
+    """
+    if iou_thresh <= 0:
+        return pred_tubes
+    from step_tpu.eval.detection_metrics import spatio_temporal_iou
+
+    groups = defaultdict(list)
+    for video, c, s, frames in pred_tubes:
+        groups[(video, c)].append((s, frames))
+    out = []
+    for (video, c), tubes in groups.items():
+        tubes.sort(key=lambda t: -t[0])
+        kept = []
+        for s, frames in tubes:
+            if all(spatio_temporal_iou(frames, kf) < iou_thresh
+                   for _, kf in kept):
+                kept.append((s, frames))
+        out.extend((video, c, s, frames) for s, frames in kept)
+    return out
+
+
 def evaluate_ucf(
     variables,
     dataset,
@@ -167,19 +204,40 @@ def evaluate_ucf(
     model: Optional[STEPDetector] = None,
     dump_path: Optional[str] = None,
     max_batches: Optional[int] = None,
+    calibration=None,
+    fit_calibration_path: Optional[str] = None,
 ):
-    """UCF101-24-style eval: frame-mAP@0.5 + video-mAP over linked tubes."""
+    """UCF101-24-style eval: frame-mAP@0.5 + video-mAP over linked tubes.
+
+    `calibration`: {'a': [C], 'b': [C]} (or a .npz path of the same) — maps
+    scores through the per-class Platt sigmoid before metrics/linking.
+    `fit_calibration_path`: fit per-class Platt parameters on THIS run's
+    detections vs GT and save them as .npz (do this on a validation split,
+    then pass the file as `calibration` for test runs).
+    """
     detections = dedupe_frame_detections(
         collect_detections(variables, dataset, cfg, model, max_batches=max_batches)
     )
     frame_gt, tube_gt = dataset.video_groundtruth()
+    if fit_calibration_path:
+        from step_tpu.eval.calibration import fit_calibration
+
+        calib = fit_calibration(detections, frame_gt, cfg.num_classes)
+        np.savez(fit_calibration_path, **calib)
+        print(f"calibration fitted -> {fit_calibration_path}")
+    if calibration is not None:
+        from step_tpu.eval.calibration import apply_calibration
+
+        if isinstance(calibration, str):
+            calibration = dict(np.load(calibration))
+        detections = apply_calibration(detections, calibration)
     if dump_path:
         with open(dump_path, "wb") as f:
             pickle.dump({"detections": detections}, f)
 
     results = {"frame_mAP@0.5": frame_map(detections, frame_gt, cfg.num_classes, 0.5)["mAP"]}
 
-    pred_tubes = link_frame_detections(detections)
+    pred_tubes = tube_nms(link_frame_detections(detections), cfg.tube_nms_thresh)
     for thresh in (0.2, 0.5):
         results[f"video_mAP@{thresh}"] = video_map(
             pred_tubes, tube_gt, cfg.num_classes, thresh

@@ -98,6 +98,7 @@ class _StepBody(nn.Module):
             dropout_rate=cfg.dropout_rate,
             depth=cfg.backbone_depth,
             fuse_bn_relu=cfg.fused_bn_relu,
+            conv_impl=cfg.conv3d_impl,
             dtype=jnp.dtype(cfg.compute_dtype),
             name="head",
         )
@@ -151,6 +152,7 @@ class STEPDetector(nn.Module):
             rgb = device_preprocess(rgb)
         feat = FeatureNet(two_stream=cfg.two_stream, depth=cfg.backbone_depth,
                            s2d=cfg.stem_s2d, fuse_bn_relu=cfg.fused_bn_relu,
+                           conv_impl=cfg.conv3d_impl,
                            dtype=dtype, name="features")(
             rgb.astype(dtype), None if flow is None else flow.astype(dtype), train
         )

@@ -69,6 +69,39 @@ class _S2DConv(nn.Module):
         )
 
 
+class _FastConv(nn.Module):
+    """2D-decomposed 3D conv (ops/conv3d.py) with an nn.Conv-identical
+    parameter (scope name "conv", param "kernel", [kt,kh,kw,C,F] shape/init)
+    so checkpoints and the torch converter are oblivious to the rewrite."""
+
+    features: int
+    kernel: Tuple[int, int, int]
+    stride: Tuple[int, int, int]
+    impl: str = "tcat"
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from step_tpu.ops.conv3d import conv3d_same
+
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        y = conv3d_same(
+            x.astype(self.dtype), k.astype(self.dtype), self.stride,
+            impl=self.impl,
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+            y = y + b.astype(y.dtype)
+        return y
+
+
 class _FusedBNReLU(nn.Module):
     """Inference-only fused BN+ReLU (Pallas) with nn.BatchNorm-compatible
     variables (params 'scale'/'bias', batch_stats 'mean'/'var') so the same
@@ -114,6 +147,7 @@ class Unit3D(nn.Module):
     use_bias: bool = False
     s2d: bool = False
     fuse_bn_relu: bool = False
+    conv_impl: str = "direct"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -121,6 +155,10 @@ class Unit3D(nn.Module):
         if self.s2d:
             x = _S2DConv(self.features, self.kernel, self.stride,
                          dtype=self.dtype, name="conv")(x)
+        elif self.conv_impl != "direct":
+            x = _FastConv(self.features, self.kernel, self.stride,
+                          impl=self.conv_impl, use_bias=self.use_bias,
+                          dtype=self.dtype, name="conv")(x)
         else:
             x = nn.Conv(
                 self.features,
@@ -162,12 +200,14 @@ class InceptionBlock(nn.Module):
 
     channels: Sequence[int]  # (b0, b1r, b1, b2r, b2, b3)
     fuse_bn_relu: bool = False
+    conv_impl: str = "direct"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = self.channels
         u = lambda f, k, name: Unit3D(f, k, fuse_bn_relu=self.fuse_bn_relu,
+                                      conv_impl=self.conv_impl,
                                       dtype=self.dtype, name=name)
         b0 = u(c[0], (1, 1, 1), "b0")(x, train)
         b1 = u(c[1], (1, 1, 1), "b1a")(x, train)
@@ -195,16 +235,19 @@ class I3DStem(nn.Module):
     depth: str = "full"
     s2d: bool = False
     fuse_bn_relu: bool = False
+    conv_impl: str = "direct"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         unit = lambda f, k, s, name: Unit3D(
             f, k, s, s2d=self.s2d and s[1:] == (2, 2),
-            fuse_bn_relu=self.fuse_bn_relu, dtype=self.dtype, name=name,
+            fuse_bn_relu=self.fuse_bn_relu, conv_impl=self.conv_impl,
+            dtype=self.dtype, name=name,
         )
         block = lambda ch, name: InceptionBlock(
-            ch, fuse_bn_relu=self.fuse_bn_relu, dtype=self.dtype, name=name
+            ch, fuse_bn_relu=self.fuse_bn_relu, conv_impl=self.conv_impl,
+            dtype=self.dtype, name=name
         )
         if self.depth == "tiny":
             tiny_a = (16, 16, 24, 8, 16, 8)    # out 64
@@ -240,12 +283,14 @@ class I3DTail(nn.Module):
     pool_5a: bool = False
     depth: str = "full"
     fuse_bn_relu: bool = False
+    conv_impl: str = "direct"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         block = lambda ch, name: InceptionBlock(
-            ch, fuse_bn_relu=self.fuse_bn_relu, dtype=self.dtype, name=name
+            ch, fuse_bn_relu=self.fuse_bn_relu, conv_impl=self.conv_impl,
+            dtype=self.dtype, name=name
         )
         if self.pool_5a:
             x = max_pool_3d(x, (2, 2, 2), (2, 2, 2))
@@ -267,18 +312,26 @@ class I3DClassifier(nn.Module):
     dropout_rate: float = 0.5
     s2d: bool = False
     fuse_bn_relu: bool = False
+    conv_impl: str = "direct"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = I3DStem(s2d=self.s2d, fuse_bn_relu=self.fuse_bn_relu,
-                    dtype=self.dtype, name="stem")(x, train)
+                    conv_impl=self.conv_impl, dtype=self.dtype,
+                    name="stem")(x, train)
         x = I3DTail(pool_5a=True, fuse_bn_relu=self.fuse_bn_relu,
-                    dtype=self.dtype, name="tail")(x, train)
+                    conv_impl=self.conv_impl, dtype=self.dtype,
+                    name="tail")(x, train)
         # global spatial average pool, keep time; then 1x1x1 conv logits
         x = jnp.mean(x, axis=(2, 3), keepdims=True)  # [B, T', 1, 1, 1024]
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        x = nn.Conv(self.num_classes, (1, 1, 1), use_bias=True,
-                    dtype=self.dtype, name="logits")(x)
+        if self.conv_impl != "direct":
+            x = _FastConv(self.num_classes, (1, 1, 1), (1, 1, 1),
+                          impl=self.conv_impl, use_bias=True,
+                          dtype=self.dtype, name="logits")(x)
+        else:
+            x = nn.Conv(self.num_classes, (1, 1, 1), use_bias=True,
+                        dtype=self.dtype, name="logits")(x)
         # average logits over time (TF I3D convention)
         return jnp.mean(x, axis=(1, 2, 3))  # [B, num_classes]

@@ -40,12 +40,14 @@ class FeatureNet(nn.Module):
     depth: str = "full"
     s2d: bool = False
     fuse_bn_relu: bool = False
+    conv_impl: str = "direct"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, rgb, flow=None, train: bool = False):
         stem = lambda name: I3DStem(depth=self.depth, s2d=self.s2d,
                                     fuse_bn_relu=self.fuse_bn_relu,
+                                    conv_impl=self.conv_impl,
                                     dtype=self.dtype, name=name)
         feat = stem("stem_rgb")(rgb, train)
         if self.two_stream:
@@ -54,6 +56,7 @@ class FeatureNet(nn.Module):
             flow_feat = stem("stem_flow")(flow, train)
             feat = jnp.concatenate([feat, flow_feat], axis=-1)
             feat = Unit3D(832, (1, 1, 1), fuse_bn_relu=self.fuse_bn_relu,
+                          conv_impl=self.conv_impl,
                           dtype=self.dtype, name="fusion")(feat, train)
         return feat
 
@@ -88,6 +91,7 @@ class TwoBranchHead(nn.Module):
     dropout_rate: float = 0.3
     depth: str = "full"
     fuse_bn_relu: bool = False
+    conv_impl: str = "direct"
     reg_channels: int = 64          # 1x1 channel reduction before the
                                     # spatially-flattened regression Dense
     dtype: jnp.dtype = jnp.float32
@@ -97,7 +101,8 @@ class TwoBranchHead(nn.Module):
         """pooled [P, T', 7, 7, C]; ctx [P, ctx_dim] or None; tprime_mask [T']."""
         P, Tp = pooled.shape[0], pooled.shape[1]
         x = I3DTail(depth=self.depth, fuse_bn_relu=self.fuse_bn_relu,
-                    dtype=self.dtype, name="tail")(pooled, train)  # [P,T',7,7,1024]
+                    conv_impl=self.conv_impl, dtype=self.dtype,
+                    name="tail")(pooled, train)  # [P,T',7,7,1024]
 
         # ---- classification branch ----
         spatial = jnp.mean(x, axis=(2, 3))  # [P, T', 1024]
@@ -116,8 +121,16 @@ class TwoBranchHead(nn.Module):
         # Keep the spatial grid: where the target sits inside the anchor IS
         # the regression signal — averaging it away (as the cls branch does)
         # leaves the deltas unlearnable (observed: reg loss plateaus hard).
-        r = nn.Conv(self.reg_channels, (1, 1, 1), dtype=self.dtype,
-                    name="reg_reduce")(x)                  # [P, T', 7, 7, c]
+        if self.conv_impl != "direct":
+            from step_tpu.models.i3d import _FastConv
+
+            r = _FastConv(self.reg_channels, (1, 1, 1), (1, 1, 1),
+                          impl=self.conv_impl, use_bias=True,
+                          dtype=self.dtype,
+                          name="reg_reduce")(x)            # [P, T', 7, 7, c]
+        else:
+            r = nn.Conv(self.reg_channels, (1, 1, 1), dtype=self.dtype,
+                        name="reg_reduce")(x)              # [P, T', 7, 7, c]
         r = nn.relu(r)
         r = r.reshape(P, Tp, -1)                           # [P, T', 7*7*c]
         r = nn.Dropout(self.dropout_rate, deterministic=not train)(r)

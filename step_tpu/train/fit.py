@@ -19,7 +19,8 @@ import numpy as np
 
 from step_tpu.config import StepConfig
 from step_tpu.models.detector import STEPDetector
-from step_tpu.parallel.mesh import create_mesh, replicated_sharding, shard_batch
+from step_tpu.parallel.distributed import make_global_batch
+from step_tpu.parallel.mesh import create_mesh, replicated_sharding
 from step_tpu.train.trainer import create_train_state, make_parallel_train_step
 from step_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
 
@@ -131,8 +132,10 @@ def fit(
                 # checkpoint (deterministic per-epoch order)
                 if epoch == start_epoch and bi < start_batch:
                     continue
-                device_batch = shard_batch(
-                    {k: jnp.asarray(v) for k, v in batch.items() if k in _BATCH_KEYS},
+                # Host-local shard -> global sharded batch (single-process
+                # this is a plain sharded device_put).
+                device_batch = make_global_batch(
+                    {k: np.asarray(v) for k, v in batch.items() if k in _BATCH_KEYS},
                     mesh,
                 )
                 state, metrics = pstep(state, device_batch, rng)

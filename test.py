@@ -20,6 +20,10 @@ def parse_args():
     p.add_argument("--annotation-file", default=None)
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--dump", default=None, help="detections pickle output path")
+    p.add_argument("--calibration", default=None,
+                   help="per-class Platt .npz to apply to scores (UCF)")
+    p.add_argument("--fit-calibration", default=None,
+                   help="fit per-class Platt on this run and save .npz (UCF)")
     p.add_argument("--max-batches", type=int, default=None)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--label-map", default=None,
@@ -77,7 +81,9 @@ def main():
         dataset = UCFDataset(args.data_root, cfg, split="test",
                              annotation_file=args.annotation_file or "UCF101v2-GT.pkl")
         results = evaluate_ucf(variables, dataset, cfg, model,
-                               dump_path=args.dump, max_batches=args.max_batches)
+                               dump_path=args.dump, max_batches=args.max_batches,
+                               calibration=args.calibration,
+                               fit_calibration_path=args.fit_calibration)
     for k, v in results.items():
         print(f"{k}: {v:.4f}")
 

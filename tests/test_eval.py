@@ -124,3 +124,24 @@ def test_link_frame_detections():
     dets2 = dets + [(("v", f), 1, 0.8, B1 + f) for f in range(1, 4)]
     tubes2 = link_frame_detections(dets2)
     assert len(tubes2) == 3
+
+
+def test_tube_nms():
+    from step_tpu.evaluate import tube_nms
+
+    b = lambda: np.asarray(BOX, np.float32)
+    t1 = {f: b() for f in range(1, 6)}              # frames 1..5
+    t2 = {f: b() for f in range(1, 6)}              # exact duplicate chain
+    t3 = {f: b() + 50 for f in range(1, 6)}         # distinct actor
+    t4 = {f: b() for f in range(20, 25)}            # same place, later in time
+    tubes = [
+        ("v", 0, 0.9, t1), ("v", 0, 0.7, t2), ("v", 0, 0.8, t3),
+        ("v", 0, 0.6, t4),
+        ("v", 1, 0.5, dict(t1)),                    # other class untouched
+        ("w", 0, 0.4, dict(t1)),                    # other video untouched
+    ]
+    out = tube_nms(tubes, iou_thresh=0.5)
+    assert len(out) == 5                            # only the duplicate dies
+    kept_scores = sorted(s for v, c, s, _ in out if (v, c) == ("v", 0))
+    assert kept_scores == [0.6, 0.8, 0.9]           # 0.7 suppressed
+    assert tube_nms(tubes, iou_thresh=0.0) is tubes  # disabled passthrough

@@ -84,3 +84,61 @@ def test_sharded_train_step_matches_single_device():
     # full (replicated-weights) batch either way — GSPMD keeps the math
     # global, so losses agree to float tolerance.
     assert losses[1] == pytest.approx(losses[8], rel=1e-3)
+
+
+def test_process_shard_disjoint_equal():
+    from step_tpu.parallel.distributed import process_shard
+
+    n, pc = 103, 4
+    shards = [process_shard(n, pc, i) for i in range(pc)]
+    per = n // pc
+    assert all(len(s) == per for s in shards)           # equal lengths
+    flat = np.concatenate(shards)
+    assert len(set(flat.tolist())) == len(flat)         # disjoint
+
+
+def test_loader_process_sharding():
+    """Two-process loaders draw the same global shuffle and split it into
+    disjoint, equal-batch-count streams."""
+    from step_tpu.config import StepConfig
+    from step_tpu.data.loader import DataLoader
+    from step_tpu.data.synthetic import SyntheticConfig, make_clip
+
+    cfg = StepConfig(dataset="synthetic", num_classes=4, frames_per_chunk=2,
+                     num_chunks=1, num_steps=1, iou_thresholds=(0.5,),
+                     step_loss_weights=(1.0,), image_size=32,
+                     backbone_depth="tiny", feature_stride=8, batch_size=2)
+    syn = SyntheticConfig(image_size=32, num_frames=cfg.total_frames,
+                          num_classes=4, max_boxes=2)
+
+    class _DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return make_clip(i, syn)
+
+    ds = _DS()
+    loaders = [DataLoader(ds, cfg, batch_size=2, train=False, seed=3,
+                          num_workers=1, process_count=2, process_index=i)
+               for i in range(2)]
+    assert len(loaders[0]) == len(loaders[1]) == 2      # 10 // 2 // 2
+    orders = [ld._epoch_order(1) for ld in loaders]
+    assert not set(orders[0]).intersection(orders[1])   # disjoint examples
+    single = DataLoader(ds, cfg, batch_size=2, train=False, seed=3,
+                        num_workers=1)._epoch_order(1)
+    # both slices come from the same global shuffle
+    assert set(orders[0]) | set(orders[1]) <= set(single.tolist())
+
+
+def test_make_global_batch_single_process():
+    from step_tpu.parallel.distributed import make_global_batch
+    from step_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh((8,))
+    batch = {"rgb": np.zeros((8, 3), np.float32), "meta": ["x"] * 8}
+    out = make_global_batch(batch, mesh)
+    assert out["rgb"].shape == (8, 3)
+    assert out["meta"] == ["x"] * 8                     # passthrough
+    shard_shapes = {s.data.shape for s in out["rgb"].addressable_shards}
+    assert shard_shapes == {(1, 3)}                     # split over 8 devices

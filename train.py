@@ -31,6 +31,10 @@ def parse_args():
     p.add_argument("--log-dir", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: bootstrap jax.distributed (coordinator "
+                        "from JAX_COORDINATOR_ADDRESS / pod metadata) and "
+                        "shard the dataset per host")
     p.add_argument("--tiny", action="store_true", help="tiny backbone (debug)")
     p.add_argument("--label-map", default=None,
                    help="AVA label-map pbtxt (evaluated-class whitelist)")
@@ -113,12 +117,23 @@ def main():
     from step_tpu.utils.cli import force_platform
 
     force_platform(args)
+    pi, pc = 0, 1
+    if args.distributed:
+        from step_tpu.parallel.distributed import init_distributed
+
+        pi, pc = init_distributed()
+        print(f"distributed: process {pi}/{pc}", flush=True)
     cfg = build_config(args)
     from step_tpu.data.loader import DataLoader
     from step_tpu.train.fit import fit
 
     dataset = build_dataset(cfg, args)
-    loader = DataLoader(dataset, cfg, train=True, seed=args.seed)
+    if cfg.batch_size % pc:
+        raise SystemExit(f"batch_size {cfg.batch_size} not divisible by "
+                         f"{pc} processes")
+    loader = DataLoader(dataset, cfg, batch_size=cfg.batch_size // pc,
+                        train=True, seed=args.seed,
+                        process_count=pc, process_index=pi)
     fit(
         cfg,
         loader,
