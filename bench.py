@@ -98,6 +98,32 @@ def main():
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
+        # XLA's cost_analysis counts a scanned body ONCE regardless of trip
+        # count (verified: the 1-step and 3-step detect programs report an
+        # identical 5.832 TF). Correct by adding (S-1) x the per-step tail
+        # FLOPs from a standalone lowering of I3DTail at the pooled-tube
+        # shape — a slight UNDERcount (omits the per-step heads/ROI, ~5%),
+        # so the reported MFU is a floor.
+        if flops > 0 and cfg.num_steps > 1:
+            from step_tpu.models.i3d import I3DTail
+
+            tail = I3DTail(depth=cfg.backbone_depth,
+                           dtype=jnp.dtype(cfg.compute_dtype))
+            Tp = (cfg.total_frames + 3) // 4  # stem temporal stride 4
+            pooled = jnp.zeros(
+                (BATCH * cfg.max_proposals, Tp,
+                 cfg.pooled_size, cfg.pooled_size, 832),
+                jnp.dtype(cfg.compute_dtype))
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                tvars = tail.init(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, Tp, cfg.pooled_size,
+                                             cfg.pooled_size, 832),
+                                            jnp.dtype(cfg.compute_dtype)))
+            tc = (jax.jit(tail.apply).lower(tvars, pooled).compile()
+                  .cost_analysis())
+            if isinstance(tc, (list, tuple)):
+                tc = tc[0]
+            flops += (cfg.num_steps - 1) * float(tc.get("flops", 0.0))
         if flops > 0:
             mfu = flops / dt / PEAK_BF16_FLOPS
     except Exception:

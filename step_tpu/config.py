@@ -61,6 +61,21 @@ class StepConfig:
     # see scripts/bench_conv3d.py docstring.) Keep "direct"; "tcat"/"sum3"
     # stay selectable and parity-tested (tests/test_conv3d.py).
     conv3d_impl: str = "direct"
+    # Process each chunk independently through the I3D stem (the
+    # reference's own BaseNet semantics — per-chunk passes, no temporal
+    # receptive field across chunk borders). Per-chunk features are
+    # CACHEABLE across sliding clip windows (inference.
+    # detect_video_stream[_batched]): each chunk's stem runs once per
+    # video instead of K times. MEASURED TRADEOFF on v5e
+    # (scripts/bench_stream.py, 64-clip video): despite doing 1/3 the stem
+    # FLOPs, the cached path is SLOWER end-to-end (363 vs 213 ms/video) —
+    # XLA-TPU's conv3d collapses on short temporal extents (the 6-frame
+    # chunk shrinks to T'=3..2 inside the stem: 64x6f stem = 170 ms vs
+    # 96 ms for 64x18f, 1.8x longer for 1/3 the work; the tcat lowering
+    # loses even harder, 349 ms). Keep False for throughput on current
+    # XLA; the mode stays as the reference-exact semantics + the streaming
+    # cache demonstrator, exactness-tested in tests/test_streaming.py.
+    chunk_stem: bool = False
     # Route inference BN+ReLU through the Pallas fused kernel
     # (ops/fused_bn_relu.py). MEASURED SLOWER than XLA's own conv-epilogue
     # fusion on the full detect program (v5e B=64: 288 vs 167 ms/batch —

@@ -13,3 +13,8 @@ from step_tpu.eval.detection_metrics import (  # noqa: F401
     spatio_temporal_iou,
 )
 from step_tpu.eval.ava_eval import ava_frame_map  # noqa: F401
+from step_tpu.eval.detection_metrics import match_detections  # noqa: F401
+from step_tpu.eval.calibration import (  # noqa: F401
+    apply_calibration,
+    fit_calibration,
+)

@@ -14,6 +14,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from step_tpu.config import StepConfig
 from step_tpu.models.detector import STEPDetector
@@ -132,6 +133,215 @@ def detect_clip_late_fusion(
     )
     scores = scores * prop_mask[..., None]
     return nms_surface(out_rgb["tubes"][-1], scores, prop_mask, cfg)
+
+
+def stem_features(variables, x: jnp.ndarray, cfg: StepConfig,
+                  flow: Optional[jnp.ndarray] = None):
+    """Backbone features only — FeatureNet applied from the detector's own
+    variable subtree (mirrors STEPDetector.__call__ preprocessing).
+
+    With `cfg.chunk_stem`, `x` may be a SINGLE CHUNK ([B, T/K, H, W, C]) —
+    per-chunk stems have no cross-chunk receptive field, so per-chunk
+    features concatenate into exactly the full-clip feature map. This is
+    what the streaming chunk cache exploits.
+    """
+    from flax.core import FrozenDict
+
+    from step_tpu.models.nets import FeatureNet
+    from step_tpu.preprocess import device_preprocess
+
+    dtype = jnp.dtype(cfg.compute_dtype)
+    if cfg.input_stream == "rgb":
+        x = device_preprocess(x)
+    fnet = FeatureNet(two_stream=cfg.two_stream, depth=cfg.backbone_depth,
+                      s2d=cfg.stem_s2d, fuse_bn_relu=cfg.fused_bn_relu,
+                      conv_impl=cfg.conv3d_impl, dtype=dtype)
+    bs = variables.get("batch_stats", FrozenDict())
+    fvars = {"params": variables["params"]["features"]}
+    if "features" in bs:
+        fvars["batch_stats"] = bs["features"]
+    return fnet.apply(fvars, x.astype(dtype),
+                      None if flow is None else flow.astype(dtype), False)
+
+
+def refine_from_features(variables, feat: jnp.ndarray, proposals: jnp.ndarray,
+                         cfg: StepConfig):
+    """Context + the S-step refinement scan, applied from the detector's
+    variable subtrees onto a precomputed feature map (the streaming-cache
+    entry point; numerically identical to the in-model path)."""
+    import flax.linen as nn
+    from flax.core import FrozenDict
+
+    from step_tpu.models.detector import _StepBody
+    from step_tpu.models.nets import ContextNet
+
+    dtype = jnp.dtype(cfg.compute_dtype)
+    bs = variables.get("batch_stats", FrozenDict())
+    ctx = None
+    if cfg.use_context:
+        cvars = {"params": variables["params"]["context"]}
+        if "context" in bs:
+            cvars["batch_stats"] = bs["context"]
+        ctx = ContextNet(dtype=dtype).apply(cvars, feat, False)
+
+    Loop = nn.scan(
+        _StepBody,
+        variable_axes={"params": 0, "batch_stats": 0},
+        split_rngs={"params": True, "dropout": True},
+        in_axes=0,
+        out_axes=0,
+        length=cfg.num_steps,
+    )
+    svars = {"params": variables["params"]["steps"]}
+    if "steps" in bs:
+        svars["batch_stats"] = bs["steps"]
+    carry = (feat, ctx, proposals.astype(jnp.float32))
+    _, outputs = Loop(cfg).apply(svars, carry, jnp.arange(cfg.num_steps))
+    return outputs
+
+
+def _stream_fns(cfg: StepConfig):
+    """jitted (stem_chunks, refine_windows) for the streaming cache path,
+    memoized on the (hashable, frozen) config — re-creating jitted closures
+    per call would re-trace the 22M-param scan program every time."""
+    if cfg in _STREAM_FN_CACHE:
+        return _STREAM_FN_CACHE[cfg]
+
+    @jax.jit
+    def stem_chunks(variables, chunks, fchunks=None):
+        return stem_features(variables, chunks, cfg, fchunks)
+
+    @jax.jit
+    def refine_windows(variables, feats, centers, proposals, prop_mask):
+        """Gather K-chunk feature windows from cached per-chunk features
+        (inside the jit — eager gathers are per-op relay round-trips) and
+        run refinement + NMS."""
+        B, K = centers.shape
+        windows = feats[centers]                     # [B, K, tc, h, w, C]
+        windows = windows.reshape(B, K * feats.shape[1], *feats.shape[2:])
+        out = refine_from_features(variables, windows, proposals, cfg)
+        tubes = out["tubes"][-1]
+        scores = class_scores_from_logits(out["cls_logits"][-1], cfg)
+        scores = scores * prop_mask[..., None]
+        return nms_surface(tubes, scores, prop_mask, cfg)
+
+    _STREAM_FN_CACHE[cfg] = (stem_chunks, refine_windows)
+    return stem_chunks, refine_windows
+
+
+_STREAM_FN_CACHE: dict = {}
+
+
+def detect_video_stream(
+    variables,
+    frames,                    # [F, H, W, 3] — the whole video (F = n*c frames)
+    cfg: StepConfig,
+    model: Optional[STEPDetector] = None,
+    flow=None,                 # [F, H, W, 2] for a flow-input detector
+):
+    """Sliding-window video detection with a per-chunk stem-feature cache.
+
+    Requires ``cfg.chunk_stem=True`` (per-chunk stems — the reference's own
+    BaseNet semantics). Consecutive K-chunk clips (stride = one chunk)
+    share K-1 chunks, so each chunk's stem runs ONCE for the whole video
+    instead of once per overlapping clip. Per-clip feature maps are
+    assembled from the cache and fed through the refinement scan + NMS,
+    numerically identical to `detect_clip` on the same window.
+
+    Edge clips clamp to the first/last chunk (forward/backward fill),
+    matching the datasets' frame-clamping convention.
+
+    This is the incremental (clip-at-a-time) form — use it for live/online
+    streams; for offline videos `detect_video_stream_batched` amortizes far
+    better. Returns a list of per-clip detection dicts (batch dim 1).
+    """
+    if not cfg.chunk_stem:
+        raise ValueError("detect_video_stream requires cfg.chunk_stem=True")
+    c, K = cfg.frames_per_chunk, cfg.num_chunks
+    F = frames.shape[0]
+    if F % c:
+        raise ValueError(f"video length {F} not a multiple of chunk size {c}")
+    n = F // c
+    half = K // 2
+    stem_chunks, refine_windows = _stream_fns(cfg)
+
+    cache = {}
+
+    def chunk_feat(i):
+        i = min(max(i, 0), n - 1)          # clamp at video edges
+        if i not in cache:
+            chunk = frames[None, i * c : (i + 1) * c]
+            fch = None if flow is None else flow[None, i * c : (i + 1) * c]
+            cache[i] = stem_chunks(variables, chunk, fch)
+        return cache[i]
+
+    proposals, prop_mask = STEPDetector.initial_proposals(cfg, 1)
+    centers1 = jnp.arange(K)[None, :]      # window rows into the local feat
+    results = []
+    for center in range(n):
+        feat = jnp.concatenate(
+            [chunk_feat(center + d) for d in range(-half, half + 1)], axis=0
+        )                                   # [K, tc, h, w, C]
+        results.append(
+            refine_windows(variables, feat, centers1, proposals, prop_mask)
+        )
+    return results
+
+
+def detect_video_stream_batched(
+    variables,
+    frames,                    # [F, H, W, 3] — whole video, F = n*c frames
+    cfg: StepConfig,
+    model: Optional[STEPDetector] = None,
+    flow=None,
+    clip_batch: int = 64,
+):
+    """Batched streaming detection with the chunk-feature cache.
+
+    The production form of `detect_video_stream`: (1) every chunk's stem
+    features are computed ONCE in chunk-batched stem calls, (2) per-clip
+    K-chunk feature windows are gathered from the cached features INSIDE
+    the refinement jit, (3) refinement + NMS runs over `clip_batch` clips
+    at a time. Stem work drops ~Kx vs per-clip detection (measured in
+    scripts/bench_stream.py).
+
+    Returns one detection dict (as from `detect_clip`) with leading dim n
+    (= number of chunk centers). n must be a multiple of clip_batch, or
+    smaller than it (one partial program).
+    """
+    if not cfg.chunk_stem:
+        raise ValueError("detect_video_stream_batched requires cfg.chunk_stem=True")
+    c, K = cfg.frames_per_chunk, cfg.num_chunks
+    F = frames.shape[0]
+    if F % c:
+        raise ValueError(f"video length {F} not a multiple of chunk size {c}")
+    n = F // c
+    half = K // 2
+    stem_chunks, refine_windows = _stream_fns(cfg)
+
+    # 1) stem over all chunks, batched (each chunk is a batch element)
+    chunks = frames.reshape(n, c, *frames.shape[1:])
+    fchunks = None if flow is None else flow.reshape(n, c, *flow.shape[1:])
+    feats = []
+    for i in range(0, n, clip_batch):
+        feats.append(stem_chunks(variables, chunks[i : i + clip_batch],
+                                 None if fchunks is None else
+                                 fchunks[i : i + clip_batch]))
+    feats = jnp.concatenate(feats, axis=0) if len(feats) > 1 else feats[0]
+
+    # 2) + 3) window gather (in-jit) and batched refinement + NMS
+    centers = np.arange(n)[:, None] + np.arange(-half, half + 1)[None, :]
+    centers = jnp.asarray(np.clip(centers, 0, n - 1))   # [n, K]
+    outs = []
+    for i in range(0, n, clip_batch):
+        ctr = centers[i : i + clip_batch]
+        proposals, prop_mask = STEPDetector.initial_proposals(cfg, ctr.shape[0])
+        outs.append(refine_windows(variables, feats, ctr, proposals, prop_mask))
+    if len(outs) == 1:
+        return outs[0]
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *outs
+    )
 
 
 def make_detect_fn(cfg: StepConfig, model: Optional[STEPDetector] = None):

@@ -153,6 +153,8 @@ class STEPDetector(nn.Module):
         feat = FeatureNet(two_stream=cfg.two_stream, depth=cfg.backbone_depth,
                            s2d=cfg.stem_s2d, fuse_bn_relu=cfg.fused_bn_relu,
                            conv_impl=cfg.conv3d_impl,
+                           chunk_stem=cfg.chunk_stem,
+                           num_chunks=cfg.num_chunks,
                            dtype=dtype, name="features")(
             rgb.astype(dtype), None if flow is None else flow.astype(dtype), train
         )

@@ -41,7 +41,21 @@ class FeatureNet(nn.Module):
     s2d: bool = False
     fuse_bn_relu: bool = False
     conv_impl: str = "direct"
+    # chunk_stem: run the stem independently per chunk (reference BaseNet
+    # semantics), folding the chunk axis into batch. Enables the streaming
+    # chunk-feature cache (inference.detect_video_stream).
+    chunk_stem: bool = False
+    num_chunks: int = 1
     dtype: jnp.dtype = jnp.float32
+
+    def _stem_apply(self, stem_mod, x, train):
+        if not self.chunk_stem or self.num_chunks == 1:
+            return stem_mod(x, train)
+        B, T = x.shape[0], x.shape[1]
+        K = self.num_chunks
+        xc = x.reshape(B * K, T // K, *x.shape[2:])
+        feat = stem_mod(xc, train)
+        return feat.reshape(B, K * feat.shape[1], *feat.shape[2:])
 
     @nn.compact
     def __call__(self, rgb, flow=None, train: bool = False):
@@ -49,11 +63,11 @@ class FeatureNet(nn.Module):
                                     fuse_bn_relu=self.fuse_bn_relu,
                                     conv_impl=self.conv_impl,
                                     dtype=self.dtype, name=name)
-        feat = stem("stem_rgb")(rgb, train)
+        feat = self._stem_apply(stem("stem_rgb"), rgb, train)
         if self.two_stream:
             if flow is None:
                 raise ValueError("two_stream=True requires a flow input")
-            flow_feat = stem("stem_flow")(flow, train)
+            flow_feat = self._stem_apply(stem("stem_flow"), flow, train)
             feat = jnp.concatenate([feat, flow_feat], axis=-1)
             feat = Unit3D(832, (1, 1, 1), fuse_bn_relu=self.fuse_bn_relu,
                           conv_impl=self.conv_impl,

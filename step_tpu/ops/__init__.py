@@ -8,3 +8,4 @@ NMS becomes a fixed-iteration masked scan that runs on device.
 
 from step_tpu.ops.roi_align import roi_align, tube_roi_align  # noqa: F401
 from step_tpu.ops.nms import nms, batched_nms  # noqa: F401
+from step_tpu.ops.conv3d import conv3d_same  # noqa: F401

@@ -12,3 +12,8 @@ from step_tpu.parallel.mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
 )
+from step_tpu.parallel.distributed import (  # noqa: F401
+    init_distributed,
+    make_global_batch,
+    process_shard,
+)
