@@ -159,3 +159,41 @@ def test_ava_train_then_test_cli(mini_ava, tmp_path):
     assert m, out
     assert np.isfinite(float(m.group(1)))
     assert os.path.exists(dump)
+
+
+def test_classify_cli(tmp_path):
+    """classify.py: torch checkpoint → converted I3D classifier → top-k."""
+    pytest.importorskip("torch")
+    import cv2
+    import torch
+
+    from tests._torch_i3d import TorchI3D
+
+    torch.manual_seed(0)
+    net = TorchI3D(num_classes=7)
+    ckpt = os.path.join(str(tmp_path), "i3d.pth")
+    torch.save(net.state_dict(), ckpt)
+
+    frames_dir = os.path.join(str(tmp_path), "frames")
+    os.makedirs(frames_dir)
+    rng = np.random.RandomState(0)
+    for i in range(6):
+        cv2.imwrite(os.path.join(frames_dir, f"{i:05d}.jpg"),
+                    rng.randint(0, 255, (48, 48, 3), np.uint8))
+    labels = os.path.join(str(tmp_path), "labels.txt")
+    with open(labels, "w") as f:
+        f.write("\n".join(f"action_{i}" for i in range(7)))
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "classify.py"),
+         "--frames-dir", frames_dir, "--torch-ckpt", ckpt,
+         "--labels", labels, "--num-classes", "7", "--num-frames", "8",
+         "--image-size", "64", "--top-k", "3", "--platform", "cpu"],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in r.stdout.strip().splitlines() if "action_" in l]
+    assert len(lines) == 3
+    probs = [float(l.split()[0]) for l in lines]
+    assert all(0.0 <= p <= 1.0 for p in probs)
+    assert probs == sorted(probs, reverse=True)
