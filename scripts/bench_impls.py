@@ -25,10 +25,8 @@ BATCH = 64
 ITERS = 20
 
 VARIANTS = [
-    ("steps3(base)", dict()),
-    ("steps2", dict(num_steps=2)),
-    ("steps1", dict(num_steps=1, temporal_extension=False)),
-    ("no_context", dict(use_context=False)),
+    ("base(scan-nms)", dict()),
+    ("pallas-nms", dict(nms_impl="pallas")),
 ]
 
 

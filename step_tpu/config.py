@@ -117,6 +117,14 @@ class StepConfig:
     nms_thresh: float = 0.5
     max_detections: int = 32            # static cap on per-frame per-class survivors
     link_iou_weight: float = 1.0        # cross-clip linking: score + w * IoU
+    # NMS lowering. "pallas" (default): one-kernel batched greedy NMS
+    # (ops/nms_pallas.py) — profiling showed the lax.scan version costs
+    # ~20 ms/batch at B=64 (16 sequential iterations of tiny kernels over
+    # B*T*C=27648 problems, launch-bound); the Pallas kernel runs the whole
+    # greedy loop VMEM-resident. Bit-exact vs the scan (tested equal, not
+    # allclose). MEASURED full-program: 180.7 vs 188.8 ms/batch (354 vs
+    # 339 clips/s). "scan" keeps the lax.scan path.
+    nms_impl: str = "pallas"
     # Tube-level temporal NMS: after cross-clip linking, suppress video tubes
     # of the same (video, class) whose spatio-temporal IoU with a
     # higher-scored kept tube exceeds this. 0 disables (reference behavior:

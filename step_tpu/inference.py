@@ -40,6 +40,38 @@ def nms_surface(
     # No more than P proposals can survive NMS — never scan past that.
     max_keep = min(cfg.max_detections, tubes.shape[1])
 
+    if cfg.nms_impl == "pallas":
+        from step_tpu.ops.nms_pallas import nms_many
+
+        B, P, T = tubes.shape[0], tubes.shape[1], tubes.shape[2]
+        C = scores.shape[-1]
+        boxes_tf = jnp.swapaxes(tubes, 1, 2)                 # [B, T, P, 4]
+        boxes_prob = jnp.broadcast_to(
+            boxes_tf[:, :, None], (B, T, C, P, 4))
+        scores_prob = jnp.broadcast_to(
+            jnp.swapaxes(scores, 1, 2)[:, None], (B, T, C, P))
+        valid_prob = jnp.broadcast_to(
+            prop_mask[:, None, None], (B, T, C, P))
+        idx, mask = nms_many(
+            boxes_prob.reshape(-1, P, 4), scores_prob.reshape(-1, P),
+            cfg.nms_thresh, max_keep, cfg.score_thresh,
+            valid_prob.reshape(-1, P),
+            interpret=jax.default_backend() != "tpu",
+        )
+        keep_idx = idx.reshape(B, T, C, max_keep)
+        keep_mask = mask.reshape(B, T, C, max_keep)
+        frame_boxes = jnp.take_along_axis(
+            boxes_prob, keep_idx[..., None].astype(jnp.int32), axis=3)
+        frame_scores = jnp.take_along_axis(
+            scores_prob, keep_idx, axis=3) * keep_mask
+        return {
+            "tubes": tubes,
+            "tube_scores": scores,
+            "frame_boxes": frame_boxes,
+            "frame_scores": frame_scores,
+            "frame_mask": keep_mask,
+        }
+
     def per_frame(boxes_t, scores_b, mask_b):
         # boxes_t [P,4], scores_b [P,C]
         keep_idx, keep_mask = batched_nms(

@@ -184,10 +184,35 @@ class Unit3D(nn.Module):
         return x
 
 
+import os as _os
+
+# Profiler finding (round 2, v5e): the 3-D reduce_window max pools inside
+# the refinement scan cost ~8.4 ms/step (27% of step time) under XLA's
+# depthwise-conv emitter. A separable pool (three 1-D reduce_windows) is
+# mathematically identical (max is associative per axis; SAME pads with
+# -inf per axis). MEASURED full-program: 190.8 vs 188.7 ms/batch — no win
+# (XLA's single-pass emitter already avoids the window-volume re-reads),
+# so "direct" stays the default; the toggle remains for re-measurement on
+# future XLA versions.
+_POOL3D_IMPL = _os.environ.get("STEP_TPU_POOL3D", "direct")
+
+
 def max_pool_3d(x, window: Tuple[int, int, int], stride: Tuple[int, int, int]):
     """TF-SAME 3D max pool over [B, T, H, W, C] (reference
     ``MaxPool3dTFPadding``: torch needs manual asymmetric padding; lax's
     'SAME' implements the TF rule natively)."""
+    if _POOL3D_IMPL == "separable":
+        for axis in range(3):
+            if window[axis] == 1 and stride[axis] == 1:
+                continue
+            dims = [1, 1, 1, 1, 1]
+            strides = [1, 1, 1, 1, 1]
+            dims[axis + 1] = window[axis]
+            strides[axis + 1] = stride[axis]
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, tuple(dims), tuple(strides), "SAME"
+            )
+        return x
     dims = (1, *window, 1)
     strides = (1, *stride, 1)
     return jax.lax.reduce_window(

@@ -83,3 +83,36 @@ def chained_timer(
     else:
         jax.block_until_ready(carry)
     return (time.time() - t0) / iters
+
+
+def summarize_trace(log_dir: str, top: int = 25):
+    """Aggregate device-op durations from a `trace(...)` capture.
+
+    Round-2 finding: jax.profiler DOES capture the TPU device lane through
+    the axon relay — per-fusion events with real durations. This parses the
+    Perfetto JSON and returns [(op_name, total_ms, count)] sorted by time,
+    device ops only. Note the root jit event and `while` bodies NEST their
+    children, so the top entries overlap (root ≈ whole program, while.N ≈
+    the scan); read them as a hierarchy, not a sum.
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+
+    paths = sorted(glob.glob(f"{log_dir}/plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        raise FileNotFoundError(f"no trace under {log_dir}")
+    with gzip.open(paths[-1]) as f:
+        t = json.load(f)
+    ev = t["traceEvents"]
+    pids = {e["pid"]: e["args"].get("name") for e in ev
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dev_pids = {p for p, n in pids.items() if "TPU" in str(n)}
+    agg, cnt = collections.Counter(), collections.Counter()
+    for e in ev:
+        if e.get("ph") == "X" and e["pid"] in dev_pids:
+            name = e["name"].split("(")[0]
+            agg[name] += e.get("dur", 0)
+            cnt[name] += 1
+    return [(name, d / 1e3, cnt[name]) for name, d in agg.most_common(top)]

@@ -1,5 +1,6 @@
 """NMS parity vs. a numpy greedy oracle, plus linking behavior."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -106,3 +107,54 @@ def test_link_tubes_multiclass_shapes():
     paths, values = link_tubes_multiclass(jnp.asarray(tubes), jnp.asarray(cls_scores))
     assert paths.shape == (C, L)
     assert values.shape == (C,)
+
+
+def test_nms_pallas_bitexact_vs_scan():
+    """Pallas batched NMS (interpret mode on CPU) is bit-identical to the
+    lax.scan version across clusters, padding, sub-threshold scores, ties,
+    and zero-area boxes."""
+    from step_tpu.ops.nms_pallas import nms_many
+
+    rng = np.random.RandomState(0)
+    N, P = 300, 16
+    boxes = rng.rand(N, P, 4).astype(np.float32) * 100
+    boxes = np.concatenate(
+        [boxes[..., :2], boxes[..., :2] + boxes[..., 2:] * 0.5], -1)
+    boxes[:, 8:] = boxes[:, :8] + rng.randn(N, 8, 4).astype(np.float32) * 2
+    scores = rng.rand(N, P).astype(np.float32)
+    scores[:, 12:] = 0.0                      # below score threshold
+    scores[5] = 0.5                           # exact ties -> lowest index
+    valid = (rng.rand(N, P) > 0.2).astype(np.float32)
+    boxes[::7, 3] = boxes[::7, 1]             # zero-area boxes
+
+    ref_idx, ref_mask = jax.vmap(
+        lambda b, s, v: nms(b, s, 0.5, 16, 0.05, v)
+    )(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid))
+    out_idx, out_mask = nms_many(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.5, 16, 0.05,
+        jnp.asarray(valid), interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref_idx), np.asarray(out_idx))
+    np.testing.assert_array_equal(np.asarray(ref_mask), np.asarray(out_mask))
+
+
+def test_nms_surface_pallas_matches_scan():
+    from step_tpu.config import StepConfig
+    from step_tpu.inference import nms_surface
+
+    cfg = StepConfig(
+        dataset="synthetic", num_classes=4, frames_per_chunk=2, num_chunks=3,
+        num_steps=2, iou_thresholds=(0.4, 0.5), step_loss_weights=(1.0, 1.0),
+        image_size=32, backbone_depth="tiny", feature_stride=8,
+        max_proposals=12, max_detections=4, compute_dtype="float32")
+    rng = np.random.RandomState(0)
+    B, P, T = 3, 12, 6
+    tubes = jnp.asarray(rng.rand(B, P, T, 4) * 30)
+    tubes = jnp.concatenate(
+        [tubes[..., :2], tubes[..., :2] + 2 + tubes[..., 2:]], -1)
+    scores = jnp.asarray(rng.rand(B, P, 4), jnp.float32)
+    mask = jnp.asarray((rng.rand(B, P) > 0.2).astype(np.float32))
+    scores = scores * mask[..., None]
+    a = nms_surface(tubes, scores, mask, cfg)
+    b = nms_surface(tubes, scores, mask, cfg.replace(nms_impl="pallas"))
+    for k in ("frame_boxes", "frame_scores", "frame_mask"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
