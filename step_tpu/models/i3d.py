@@ -201,6 +201,15 @@ def max_pool_3d(x, window: Tuple[int, int, int], stride: Tuple[int, int, int]):
     """TF-SAME 3D max pool over [B, T, H, W, C] (reference
     ``MaxPool3dTFPadding``: torch needs manual asymmetric padding; lax's
     'SAME' implements the TF rule natively)."""
+    if (_POOL3D_IMPL == "pallas" and window == (3, 3, 3)
+            and stride == (1, 1, 1)):
+        from step_tpu.ops.pool_pallas import (max_pool3x3_same_pallas,
+                                              pick_block_n)
+
+        bn = pick_block_n(x.shape, x.dtype)
+        if bn is not None:  # else: block too big for VMEM → reduce_window
+            return max_pool3x3_same_pallas(
+                x, block_n=bn, interpret=jax.default_backend() != "tpu")
     if _POOL3D_IMPL == "separable":
         for axis in range(3):
             if window[axis] == 1 and stride[axis] == 1:

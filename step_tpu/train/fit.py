@@ -124,6 +124,20 @@ def fit(
     logger = MetricsLogger(log_dir)
     rng = jax.random.PRNGKey(seed + 1)
 
+    # The device must be able to run AHEAD of the host: reading
+    # `int(state.step)` (or any metric) every iteration is a device sync
+    # that serializes host input prep against the step. Track the step on
+    # the host and flush buffered device metrics only every `print_every`
+    # steps — jax's async dispatch then pipelines input transfer and
+    # compute across up to that many steps.
+    host_step = int(state.step)
+    pending: list = []
+
+    def flush():
+        for s, m, extra in pending:
+            logger.log(s, m, extra)  # np.asarray here is the sync point
+        pending.clear()
+
     try:
         for epoch in range(start_epoch, num_epochs):
             t_last = time.time()
@@ -139,29 +153,35 @@ def fit(
                     mesh,
                 )
                 state, metrics = pstep(state, device_batch, rng)
-                step = int(state.step)
+                host_step += 1
                 now = time.time()
-                logger.log(
-                    step,
+                pending.append((
+                    host_step,
                     metrics,
                     {
                         "epoch": epoch,
                         "batch_index": bi,
                         "clips_per_sec": cfg.batch_size / max(now - t_last, 1e-6),
                     },
-                )
+                ))
                 t_last = now
-                if ckpt_dir and step % ckpt_every == 0:
+                done = host_step >= cfg.total_steps
+                if len(pending) >= logger.print_every or done:
+                    flush()
+                if ckpt_dir and host_step % ckpt_every == 0:
+                    flush()
                     save_checkpoint(
                         ckpt_dir, state, {"epoch": epoch, "batch_index": bi + 1}
                     )
-                if step >= cfg.total_steps:
+                if done:
                     break
+            flush()
             if eval_fn is not None and (epoch + 1) % eval_every_epochs == 0:
                 eval_metrics = eval_fn(state, epoch)
                 print(f"epoch {epoch} eval: {eval_metrics}", flush=True)
-            if int(state.step) >= cfg.total_steps:
+            if host_step >= cfg.total_steps:
                 break
+        flush()
         if ckpt_dir:
             save_checkpoint(ckpt_dir, state, {"epoch": num_epochs, "batch_index": 0},
                             wait=True)

@@ -107,3 +107,63 @@ def test_bn_relu_inference_matches_flax_math():
     got = bn_relu_inference(x, gamma, beta, mean, var, eps, interpret=True)
     want = jnp.maximum((x - mean) * jax.lax.rsqrt(var + eps) * gamma + beta, 0.0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_max_pool3x3_pallas_bitexact():
+    """Pallas 3x3x3/stride-1/SAME max pool == reduce_window, bit-exact,
+    including channel/batch padding remainders and bf16."""
+    from step_tpu.ops.pool_pallas import max_pool3x3_same_pallas
+
+    rng = np.random.RandomState(0)
+    for shape, dtype in [((6, 5, 7, 7, 12), jnp.float32),
+                         ((3, 2, 4, 9, 130), jnp.float32),
+                         ((4, 5, 7, 7, 32), jnp.bfloat16)]:
+        x = jnp.asarray(rng.randn(*shape), dtype)
+        ref = jax.lax.reduce_window(
+            x, jnp.asarray(-jnp.inf, dtype), jax.lax.max,
+            (1, 3, 3, 3, 1), (1, 1, 1, 1, 1), "SAME")
+        out = max_pool3x3_same_pallas(x, block_n=4, interpret=True)
+        assert out.shape == ref.shape
+        assert bool(jnp.all(out == ref)), (shape, dtype)
+
+
+def test_max_pool_3d_pallas_dispatch(monkeypatch):
+    """models.i3d.max_pool_3d routes 3x3x3/s1 pools through the Pallas
+    kernel when STEP_TPU_POOL3D=pallas, with identical results."""
+    import step_tpu.models.i3d as i3d
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 5, 7, 7, 16), jnp.float32)
+    ref = i3d.max_pool_3d(x, (3, 3, 3), (1, 1, 1))
+    monkeypatch.setattr(i3d, "_POOL3D_IMPL", "pallas")
+    out = i3d.max_pool_3d(x, (3, 3, 3), (1, 1, 1))
+    assert bool(jnp.all(out == ref))
+    # non-matching window keeps the reduce_window path
+    ref2 = i3d.max_pool_3d(x, (1, 3, 3), (1, 2, 2))
+    monkeypatch.setattr(i3d, "_POOL3D_IMPL", "direct")
+    assert bool(jnp.all(ref2 == i3d.max_pool_3d(x, (1, 3, 3), (1, 2, 2))))
+
+
+def test_pool_pallas_block_n_vmem_guard():
+    """pick_block_n shrinks block_n for big spatial extents and returns None
+    when even one clip's halo block exceeds the VMEM budget (the backbone's
+    Mixed_3 shape), so max_pool_3d falls back to reduce_window."""
+    from step_tpu.ops.pool_pallas import pick_block_n
+
+    # pooled-tube shape: small halo → large block_n
+    assert pick_block_n((1024, 5, 7, 7, 832), jnp.bfloat16) == 4
+    # backbone Mixed_3 b3-pool shape: 11*30*30*128*2B ≈ 2.5 MB/clip → None
+    assert pick_block_n((64, 9, 28, 28, 256), jnp.bfloat16) is None
+    import step_tpu.models.i3d as i3d
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 11, 30, 30, 8), jnp.float32)
+    big = jnp.tile(x, (1, 1, 1, 1, 32))  # 256 channels
+    ref = i3d.max_pool_3d(big, (3, 3, 3), (1, 1, 1))
+    old = i3d._POOL3D_IMPL
+    try:
+        i3d._POOL3D_IMPL = "pallas"
+        out = i3d.max_pool_3d(big, (3, 3, 3), (1, 1, 1))
+    finally:
+        i3d._POOL3D_IMPL = old
+    assert bool(jnp.all(out == ref))
