@@ -33,12 +33,17 @@ def collect_detections(
     batch_size: int = 8,
     max_batches: Optional[int] = None,
     image_scale_to_gt: bool = True,
+    mesh=None,
 ):
     """Run detection over `dataset` → list of (frame_key, cls, score, box).
 
     frame_key is (video, frame_number 1-based) for UCF-style datasets, or
     (video, timestamp) for AVA. Boxes are mapped back to the dataset's
     native resolution when the dataset exposes `resolution` (UCF pkl).
+
+    `mesh`: optional `jax.sharding.Mesh` — shards each detection batch over
+    the mesh's data axis (`inference.make_parallel_detect_fn`); ragged final
+    batches are padded to the mesh size and the padding dropped host-side.
     """
     model = model or STEPDetector(cfg)
     from step_tpu.data.loader import DataLoader
@@ -46,19 +51,30 @@ def collect_detections(
     loader = DataLoader(dataset, cfg, batch_size=batch_size, shuffle=False,
                         train=False, drop_last=False, num_workers=2)
 
-    @jax.jit
-    def detect(variables, rgb, proposals, prop_mask):
-        return detect_clip(variables, rgb, proposals, prop_mask, cfg, model)
+    if mesh is not None:
+        from step_tpu.inference import make_parallel_detect_fn, pad_batch_to
+
+        detect = make_parallel_detect_fn(cfg, mesh, model)
+        n_shards = int(np.prod(mesh.devices.shape))
+    else:
+
+        @jax.jit
+        def detect(variables, rgb, proposals, prop_mask):
+            return detect_clip(variables, rgb, proposals, prop_mask, cfg, model)
 
     detections = []
     for bi, batch in enumerate(loader.epoch(0)):
         if max_batches is not None and bi >= max_batches:
             break
+        rgb, props, pmask = batch["rgb"], batch["proposals"], batch["prop_mask"]
+        if mesh is not None:
+            rgb, props, pmask = (pad_batch_to(np.asarray(a), n_shards)
+                                 for a in (rgb, props, pmask))
         out = detect(
             variables,
-            jnp.asarray(batch["rgb"]),
-            jnp.asarray(batch["proposals"]),
-            jnp.asarray(batch["prop_mask"]),
+            jnp.asarray(rgb),
+            jnp.asarray(props),
+            jnp.asarray(pmask),
         )
         boxes = np.asarray(out["frame_boxes"])   # [B, T, C, K, 4]
         scores = np.asarray(out["frame_scores"])  # [B, T, C, K]
@@ -206,6 +222,7 @@ def evaluate_ucf(
     max_batches: Optional[int] = None,
     calibration=None,
     fit_calibration_path: Optional[str] = None,
+    mesh=None,
 ):
     """UCF101-24-style eval: frame-mAP@0.5 + video-mAP over linked tubes.
 
@@ -216,7 +233,8 @@ def evaluate_ucf(
     then pass the file as `calibration` for test runs).
     """
     detections = dedupe_frame_detections(
-        collect_detections(variables, dataset, cfg, model, max_batches=max_batches)
+        collect_detections(variables, dataset, cfg, model,
+                           max_batches=max_batches, mesh=mesh)
     )
     frame_gt, tube_gt = dataset.video_groundtruth()
     if fit_calibration_path:
@@ -253,12 +271,14 @@ def evaluate_ava(
     model: Optional[STEPDetector] = None,
     dump_path: Optional[str] = None,
     max_batches: Optional[int] = None,
+    mesh=None,
 ):
     """AVA-style eval: keyframe frame-mAP@0.5 (normalized coords).
 
     Per-class NMS runs on device inside `detect_clip` (reference: test.py's
     score-threshold + per-class NMS before dumping detections); this driver
     reads the NMS survivors at the keyframe (central frame) only.
+    `mesh`: optional device mesh for batch-sharded DP detection.
     """
     model = model or STEPDetector(cfg)
     from step_tpu.data.loader import DataLoader
@@ -266,20 +286,31 @@ def evaluate_ava(
     loader = DataLoader(dataset, cfg, batch_size=4, shuffle=False, train=False,
                         drop_last=False, num_workers=2)
 
-    @jax.jit
-    def detect(variables, rgb, proposals, prop_mask):
-        return detect_clip(variables, rgb, proposals, prop_mask, cfg, model)
+    if mesh is not None:
+        from step_tpu.inference import make_parallel_detect_fn, pad_batch_to
+
+        detect = make_parallel_detect_fn(cfg, mesh, model)
+        n_shards = int(np.prod(mesh.devices.shape))
+    else:
+
+        @jax.jit
+        def detect(variables, rgb, proposals, prop_mask):
+            return detect_clip(variables, rgb, proposals, prop_mask, cfg, model)
 
     kf = cfg.total_frames // 2
     detections = []
     for bi, batch in enumerate(loader.epoch(0)):
         if max_batches is not None and bi >= max_batches:
             break
+        rgb, props, pmask = batch["rgb"], batch["proposals"], batch["prop_mask"]
+        if mesh is not None:
+            rgb, props, pmask = (pad_batch_to(np.asarray(a), n_shards)
+                                 for a in (rgb, props, pmask))
         out = detect(
             variables,
-            jnp.asarray(batch["rgb"]),
-            jnp.asarray(batch["proposals"]),
-            jnp.asarray(batch["prop_mask"]),
+            jnp.asarray(rgb),
+            jnp.asarray(props),
+            jnp.asarray(pmask),
         )
         boxes = np.asarray(out["frame_boxes"])[:, kf]    # [B, C, K, 4]
         scores = np.asarray(out["frame_scores"])[:, kf]  # [B, C, K]

@@ -10,6 +10,7 @@ forward, NMS, and host-side linking).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -385,6 +386,49 @@ def make_detect_fn(cfg: StepConfig, model: Optional[STEPDetector] = None):
         return detect_clip(variables, rgb, proposals, prop_mask, cfg, model, flow)
 
     return _detect
+
+
+def make_parallel_detect_fn(cfg: StepConfig, mesh,
+                            model: Optional[STEPDetector] = None):
+    """Batch-sharded data-parallel `detect_clip` over a device mesh — the
+    inference/serving analog of ``train.trainer.make_parallel_train_step``
+    (reference: ``nn.DataParallel`` wraps the net for BOTH train and test
+    in ``train.py``/``test.py`` (recon); the rebuild's eval path was
+    single-device until this).
+
+    Params are replicated; rgb/proposals/prop_mask (and flow) shard their
+    leading batch dim over the mesh's 'data' axis, as do all outputs. GSPMD
+    inserts no collectives for this program (detection is per-clip
+    independent), so DP inference scales linearly over ICI. The global
+    batch must divide the data-axis size — `pad_batch_to` helps with
+    ragged final eval batches.
+    """
+    from step_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+    model = model or STEPDetector(cfg)
+    repl = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, bsh, bsh, bsh),
+        out_shardings=bsh,
+    )
+    def _detect(variables, rgb, proposals, prop_mask):
+        return detect_clip(variables, rgb, proposals, prop_mask, cfg, model)
+
+    return _detect
+
+
+def pad_batch_to(arr: np.ndarray, multiple: int) -> np.ndarray:
+    """Pad a [B, ...] array's batch dim up to the next multiple by repeating
+    the last element (keeps shapes static for sharded eval; padded rows are
+    dropped host-side by iterating only the real metadata)."""
+    b = arr.shape[0]
+    pad = -b % multiple
+    if pad == 0:
+        return arr
+    return np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)], axis=0)
 
 
 def detect_video(

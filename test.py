@@ -32,6 +32,8 @@ def parse_args():
                    help="AVA excluded-timestamps CSV (relative to data root)")
     p.add_argument("--fps", type=int, default=30,
                    help="AVA frame-extraction rate (frames per second)")
+    p.add_argument("--sharded", action="store_true",
+                   help="batch-shard detection over all devices (DP eval)")
     from step_tpu.utils.cli import add_common_args
 
     add_common_args(p)
@@ -59,6 +61,13 @@ def main():
     state, _ = restore_checkpoint(args.ckpt_dir, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
+    mesh = None
+    if args.sharded:
+        from step_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh()
+        print(f"sharded eval over {mesh.devices.size} devices", flush=True)
+
     if cfg.dataset == "ava":
         from step_tpu.data.ava import AVADataset
         from step_tpu.evaluate import evaluate_ava
@@ -73,7 +82,8 @@ def main():
                              fps=args.fps, label_map=label_map,
                              exclusions_file=args.exclusions)
         results = evaluate_ava(variables, dataset, cfg, model,
-                               dump_path=args.dump, max_batches=args.max_batches)
+                               dump_path=args.dump, max_batches=args.max_batches,
+                               mesh=mesh)
     else:
         from step_tpu.data.ucf import UCFDataset
         from step_tpu.evaluate import evaluate_ucf
@@ -83,7 +93,8 @@ def main():
         results = evaluate_ucf(variables, dataset, cfg, model,
                                dump_path=args.dump, max_batches=args.max_batches,
                                calibration=args.calibration,
-                               fit_calibration_path=args.fit_calibration)
+                               fit_calibration_path=args.fit_calibration,
+                               mesh=mesh)
     for k, v in results.items():
         print(f"{k}: {v:.4f}")
 

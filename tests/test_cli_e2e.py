@@ -38,9 +38,11 @@ TINY_SET = [
 ]
 
 
-def run_cli(script, *args, timeout=420):
+def run_cli(script, *args, timeout=420, extra_env=None):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    if extra_env:
+        env.update(extra_env)
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, script), "--platform", "cpu", *args],
         env=env, cwd=REPO, capture_output=True, text=True, timeout=timeout,
@@ -138,6 +140,20 @@ def test_ucf_train_then_test_cli(mini_ucf, tmp_path):
     assert "video_mAP@0.2" in out
     with open(dump, "rb") as f:
         assert "detections" in pickle.load(f)
+
+    # --sharded: same eval batch-sharded over an 8-virtual-device CPU mesh
+    # must reproduce the single-device metrics.
+    out_sh = run_cli(
+        "test.py", "--preset", "ucf_3step", "--data-root", mini_ucf,
+        "--ckpt-dir", ckpt, "--sharded",
+        "--set", "num_classes=2", *TINY_SET,
+        extra_env={"XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+    )
+    assert "sharded eval over 8 devices" in out_sh
+    for metric in ("frame_mAP@0.5", "video_mAP@0.2"):
+        v1 = float(re.search(rf"{metric}: ([0-9.]+)", out).group(1))
+        v2 = float(re.search(rf"{metric}: ([0-9.]+)", out_sh).group(1))
+        assert v1 == pytest.approx(v2, abs=1e-3), metric
 
 
 def test_ava_train_then_test_cli(mini_ava, tmp_path):

@@ -142,3 +142,88 @@ def test_make_global_batch_single_process():
     assert out["meta"] == ["x"] * 8                     # passthrough
     shard_shapes = {s.data.shape for s in out["rgb"].addressable_shards}
     assert shard_shapes == {(1, 3)}                     # split over 8 devices
+
+
+def _tiny_detect_cfg():
+    from step_tpu.config import StepConfig
+
+    return StepConfig(
+        dataset="synthetic", num_classes=3, frames_per_chunk=2, num_chunks=1,
+        num_steps=1, iou_thresholds=(0.4,), step_loss_weights=(1.0,),
+        temporal_extension=False, image_size=32, backbone_depth="tiny",
+        feature_stride=8, pooled_size=4, max_proposals=12, max_gt_tubes=2,
+        compute_dtype="float32", batch_size=8, dropout_rate=0.0,
+    )
+
+
+def test_parallel_detect_matches_single_device():
+    """Batch-sharded DP detect over 8 devices == single-device detect_clip."""
+    from step_tpu.inference import detect_clip, make_parallel_detect_fn
+    from step_tpu.models.detector import STEPDetector
+
+    cfg = _tiny_detect_cfg()
+    model = STEPDetector(cfg)
+    rng = np.random.RandomState(0)
+    rgb = jnp.asarray(rng.rand(8, cfg.total_frames, cfg.image_size,
+                               cfg.image_size, 3), jnp.float32)
+    proposals, prop_mask = STEPDetector.initial_proposals(cfg, 8)
+    variables = model.init(jax.random.PRNGKey(0), rgb[:1], proposals[:1],
+                           prop_mask[:1])
+
+    single = jax.jit(
+        lambda v, r, p, m: detect_clip(v, r, p, m, cfg, model)
+    )(variables, rgb, proposals, prop_mask)
+
+    mesh = create_mesh((8,))
+    pdetect = make_parallel_detect_fn(cfg, mesh, model)
+    sharded = pdetect(variables, rgb, proposals, prop_mask)
+
+    assert sharded["frame_boxes"].sharding.spec == P("data")
+    for k in ("tubes", "tube_scores", "frame_boxes", "frame_scores",
+              "frame_mask"):
+        np.testing.assert_allclose(
+            np.asarray(sharded[k]), np.asarray(single[k]),
+            rtol=1e-4, atol=1e-4, err_msg=k)
+
+
+def test_pad_batch_to_and_sharded_collect():
+    """pad_batch_to pads ragged eval batches by edge-repeat; mesh-sharded
+    collect_detections returns the same detections as single-device."""
+    from step_tpu.evaluate import collect_detections
+    from step_tpu.inference import pad_batch_to
+    from step_tpu.data.synthetic import SyntheticConfig, make_clip
+    from step_tpu.models.detector import STEPDetector
+
+    x = np.arange(10, dtype=np.float32).reshape(5, 2)
+    padded = pad_batch_to(x, 4)
+    assert padded.shape == (8, 2)
+    np.testing.assert_array_equal(padded[5:], np.repeat(x[-1:], 3, axis=0))
+    assert pad_batch_to(x, 5) is x
+
+    cfg = _tiny_detect_cfg()
+    syn = SyntheticConfig(image_size=cfg.image_size,
+                          num_frames=cfg.total_frames,
+                          num_classes=cfg.num_classes,
+                          max_boxes=cfg.max_gt_tubes)
+
+    class _DS:
+        def __len__(self):
+            return 6                     # batch 4 -> ragged final batch of 2
+
+        def __getitem__(self, i):
+            return make_clip(i, syn)
+
+    model = STEPDetector(cfg)
+    rgb = jnp.zeros((1, cfg.total_frames, cfg.image_size, cfg.image_size, 3))
+    proposals, prop_mask = STEPDetector.initial_proposals(cfg, 1)
+    variables = model.init(jax.random.PRNGKey(0), rgb, proposals, prop_mask)
+
+    base = collect_detections(variables, _DS(), cfg, model, batch_size=4)
+    mesh = create_mesh((4,), devices=jax.devices()[:4])
+    via_mesh = collect_detections(variables, _DS(), cfg, model, batch_size=4,
+                                  mesh=mesh)
+    assert len(base) == len(via_mesh)
+    for (k1, c1, s1, b1), (k2, c2, s2, b2) in zip(base, via_mesh):
+        assert k1 == k2 and c1 == c2
+        assert s1 == pytest.approx(s2, rel=1e-4)
+        np.testing.assert_allclose(b1, b2, rtol=1e-4, atol=1e-3)
