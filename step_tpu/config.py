@@ -49,6 +49,14 @@ class StepConfig:
     late_fusion_weight: float = 0.5
     feature_stride: int = 16            # spatial stride at the shared-feature cut (Mixed_4f)
     compute_dtype: str = "bfloat16"     # MXU-friendly; params stay float32
+    # Ship rgb batches host->device as uint8 (normalization happens on
+    # device, preprocess.py). MEASURED on the relay-tunneled v5e: the f32
+    # batch upload stalls the train step ~4.3 s at B=16/224px/18f (the
+    # relay's device_put ack is async, real bandwidth ~43 MB/s); uint8 cuts
+    # the step to 1.30 s — a 3.3x end-to-end training speedup. Lossless for
+    # JPEG-sourced datasets (frames are uint8 on disk); synthetic float
+    # clips quantize to 1/255.
+    uint8_transfer: bool = True
     # Space-to-depth first conv: same parameters/output, ~2x better MXU
     # channel utilization on the 3-channel input (ops/stem_conv.py).
     stem_s2d: bool = True

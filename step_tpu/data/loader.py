@@ -49,9 +49,12 @@ class DataLoader:
         drop_last: bool = True,
         process_count: int = 1,
         process_index: int = 0,
+        emit_uint8: Optional[bool] = None,   # None -> cfg.uint8_transfer
     ):
         self.dataset = dataset
         self.cfg = cfg
+        self.emit_uint8 = (cfg.uint8_transfer if emit_uint8 is None
+                           else emit_uint8)
         self.batch_size = batch_size or cfg.batch_size
         self.shuffle = shuffle
         self.train = train
@@ -116,6 +119,7 @@ class DataLoader:
                     batch = build_model_batch(
                         raw, self.cfg, train=self.train,
                         seed=self.seed + epoch * len(batches) + bi,
+                        emit_uint8=self.emit_uint8,
                     )
                     batch["meta"] = raw["meta"]
                     q.put(batch)

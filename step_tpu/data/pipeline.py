@@ -17,7 +17,7 @@ import numpy as np
 from step_tpu.config import StepConfig
 from step_tpu.preprocess import RGB_MEAN as _RGB_MEAN
 from step_tpu.preprocess import RGB_STD as _RGB_STD
-from step_tpu.tubes.proposals import initial_cuboids
+from step_tpu.tubes.proposals import initial_cuboids_np
 
 RGB_MEAN = np.asarray(_RGB_MEAN, np.float32)
 RGB_STD = np.asarray(_RGB_STD, np.float32)
@@ -76,8 +76,11 @@ def build_model_batch(
     uint8 with `emit_uint8`) — the detector normalizes on device.
     """
     B, T = raw["rgb"].shape[:2]
-    base_tubes, base_mask = initial_cuboids(cfg.image_size, T, cfg.max_proposals)
-    base_tubes, base_mask = np.asarray(base_tubes), np.asarray(base_mask)
+    # numpy variant: the jnp version makes two host<->device round-trips per
+    # call, which serialize behind batch transfers on the relay TPU
+    # (measured 3.5 s/batch of pure stall — the round 2 training-throughput
+    # bug). Proposal assembly must stay host-side.
+    base_tubes, base_mask = initial_cuboids_np(cfg.image_size, T, cfg.max_proposals)
     proposals = np.tile(base_tubes[None], (B, 1, 1, 1))
     prop_mask = np.tile(base_mask[None], (B, 1))
 

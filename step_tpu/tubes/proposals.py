@@ -14,20 +14,24 @@ we use a deterministic coarse tiling with the same coverage intent:
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax.numpy as jnp
 
 
-def initial_cuboids(
+@functools.lru_cache(maxsize=None)
+def initial_cuboids_np(
     image_size: float,
     num_frames: int,
     max_proposals: int | None = None,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Build the 11 initial cuboids, optionally padded to a static capacity.
+) -> tuple[np.ndarray, np.ndarray]:
+    """`initial_cuboids` as host numpy arrays (read-only, memoized).
 
-    Returns:
-      tubes: [P, T, 4] — identical box replicated across T frames.
-      mask:  [P] float — 1 for the 11 real proposals, 0 for padding.
+    The host data pipeline calls this once per batch; returning device
+    arrays here was measured to cost ~3.5 s/batch on the relay-tunneled
+    TPU (two tiny host<->device round-trips serialized behind the batch
+    transfers). Pure numpy keeps proposal assembly off-device entirely.
     """
     s = float(image_size)
     boxes = [(0.0, 0.0, 1.0, 1.0)]  # full frame
@@ -54,4 +58,21 @@ def initial_cuboids(
     mask = np.zeros((cap,), np.float32)
     mask[:P] = 1.0
     tubes = np.broadcast_to(padded[:, None, :], (cap, num_frames, 4)).copy()
+    tubes.flags.writeable = False   # memoized — guard against aliasing
+    mask.flags.writeable = False
+    return tubes, mask
+
+
+def initial_cuboids(
+    image_size: float,
+    num_frames: int,
+    max_proposals: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Build the 11 initial cuboids, optionally padded to a static capacity.
+
+    Returns:
+      tubes: [P, T, 4] — identical box replicated across T frames.
+      mask:  [P] float — 1 for the 11 real proposals, 0 for padding.
+    """
+    tubes, mask = initial_cuboids_np(image_size, num_frames, max_proposals)
     return jnp.asarray(tubes), jnp.asarray(mask)

@@ -267,3 +267,43 @@ def test_dataloader_propagates_worker_errors():
     dl = DataLoader(Exploding(), CFG, batch_size=2, train=False, num_workers=1)
     with pytest.raises(RuntimeError, match="decode failed"):
         list(dl.epoch(0))
+
+
+def test_loader_uint8_transfer_default():
+    """DataLoader ships rgb as uint8 by default (cfg.uint8_transfer) — the
+    4x host->device bandwidth saving — and as float32 when disabled; the
+    uint8 batch is the exact 1/255 quantization of the float batch."""
+    from step_tpu.config import StepConfig
+    from step_tpu.data.loader import DataLoader
+    from step_tpu.data.synthetic import SyntheticConfig, make_clip
+
+    cfg = StepConfig(dataset="synthetic", num_classes=3, frames_per_chunk=2,
+                     num_chunks=1, num_steps=1, iou_thresholds=(0.4,),
+                     step_loss_weights=(1.0,), temporal_extension=False,
+                     image_size=32, backbone_depth="tiny", feature_stride=8,
+                     max_gt_tubes=2, batch_size=2)
+    assert cfg.uint8_transfer
+    syn = SyntheticConfig(image_size=32, num_frames=2, num_classes=3,
+                          max_boxes=2)
+
+    class _DS:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return make_clip(i, syn)
+
+    # train=False: no augmentation, so the two loaders see identical pixels
+    b_u8 = next(iter(DataLoader(_DS(), cfg, batch_size=2, train=False,
+                                shuffle=False, num_workers=1)))
+    b_f32 = next(iter(DataLoader(_DS(), cfg, batch_size=2, train=False,
+                                 shuffle=False, num_workers=1,
+                                 emit_uint8=False)))
+    assert b_u8["rgb"].dtype == np.uint8
+    assert b_f32["rgb"].dtype == np.float32
+    np.testing.assert_allclose(
+        b_u8["rgb"].astype(np.float32) / 255.0, b_f32["rgb"],
+        atol=0.5 / 255.0)
+    # non-rgb keys stay float regardless
+    for k in ("proposals", "prop_mask", "gt_tubes", "gt_mask"):
+        assert b_u8[k].dtype == np.float32

@@ -115,3 +115,22 @@ def test_initial_cuboids():
     np.testing.assert_allclose(t[0, 0], [0, 0, 224, 224])
     # all inside the image
     assert t.min() >= 0 and t.max() <= 224
+
+
+def test_initial_cuboids_np_matches_and_is_host_side():
+    """The memoized numpy variant (used by the host data pipeline to avoid
+    per-batch device round-trips) matches the jnp version exactly and is
+    read-only (it's cached — aliasing writes would corrupt later batches)."""
+    import numpy as np
+
+    from step_tpu.tubes.proposals import initial_cuboids_np
+
+    tubes_np, mask_np = initial_cuboids_np(224, 6, 16)
+    assert isinstance(tubes_np, np.ndarray) and isinstance(mask_np, np.ndarray)
+    assert not tubes_np.flags.writeable and not mask_np.flags.writeable
+    tubes_j, mask_j = initial_cuboids(image_size=224, num_frames=6,
+                                      max_proposals=16)
+    np.testing.assert_array_equal(tubes_np, np.asarray(tubes_j))
+    np.testing.assert_array_equal(mask_np, np.asarray(mask_j))
+    # memoized: same object back
+    assert initial_cuboids_np(224, 6, 16)[0] is tubes_np
