@@ -36,7 +36,8 @@ TARGET_MULTIPLE = 5.0
 # which is chip-relative and proxy-free (unlike vs_baseline).
 PEAK_BF16_FLOPS = 197e12
 
-BATCH = 64   # throughput sweet spot from the batch sweep (see VALIDATION.md)
+BATCH = 128  # throughput sweet spot from the batch sweep (see VALIDATION.md;
+             # measured 393 clips/s at 128 vs 354 at 64 vs 362 at 192)
 ITERS = 30
 
 
