@@ -111,15 +111,16 @@ def main():
             tail = I3DTail(depth=cfg.backbone_depth,
                            dtype=jnp.dtype(cfg.compute_dtype))
             Tp = (cfg.total_frames + 3) // 4  # stem temporal stride 4
-            pooled = jnp.zeros(
+            cdt = jnp.dtype(cfg.compute_dtype)
+            # shape-only lowering: no device memory for the pooled tensor
+            # (a live zeros array here is ~835 MB at B=128) or the params
+            pooled = jax.ShapeDtypeStruct(
                 (BATCH * cfg.max_proposals, Tp,
-                 cfg.pooled_size, cfg.pooled_size, 832),
-                jnp.dtype(cfg.compute_dtype))
-            with jax.default_device(jax.local_devices(backend="cpu")[0]):
-                tvars = tail.init(jax.random.PRNGKey(0),
-                                  jnp.zeros((1, Tp, cfg.pooled_size,
-                                             cfg.pooled_size, 832),
-                                            jnp.dtype(cfg.compute_dtype)))
+                 cfg.pooled_size, cfg.pooled_size, 832), cdt)
+            tvars = jax.eval_shape(
+                tail.init, jax.random.PRNGKey(0),
+                jax.ShapeDtypeStruct(
+                    (1, Tp, cfg.pooled_size, cfg.pooled_size, 832), cdt))
             tc = (jax.jit(tail.apply).lower(tvars, pooled).compile()
                   .cost_analysis())
             if isinstance(tc, (list, tuple)):
