@@ -167,3 +167,25 @@ def test_pool_pallas_block_n_vmem_guard():
     finally:
         i3d._POOL3D_IMPL = old
     assert bool(jnp.all(out == ref))
+
+
+def test_fused_conv3d_bn_relu_parity():
+    """Implicit-GEMM fused conv+BN+ReLU kernel (a measured-negative study —
+    see its docstring) matches XLA conv + epilogue, incl. Cin/K/N padding
+    remainders and the f32-accumulate contract."""
+    from step_tpu.ops.conv3d_pallas import conv3x3x3_bn_relu
+
+    rng = np.random.RandomState(0)
+    for (N, T, H, W, C, K) in [(3, 5, 7, 7, 160, 96), (2, 3, 5, 5, 40, 130)]:
+        x = jnp.asarray(rng.randn(N, T, H, W, C), jnp.float32)
+        w = jnp.asarray(rng.randn(3, 3, 3, C, K) * 0.05, jnp.float32)
+        scale = jnp.asarray(rng.rand(K) + 0.5, jnp.float32)
+        bias = jnp.asarray(rng.randn(K) * 0.1, jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        ref = jnp.maximum(ref * scale + bias, 0.0)
+        out = conv3x3x3_bn_relu(x, w, scale, bias, block_n=2, block_c=64,
+                                interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
