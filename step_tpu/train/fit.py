@@ -94,6 +94,7 @@ def fit(
     eval_fn: Optional[Callable] = None,
     eval_every_epochs: int = 1,
     seed: int = 0,
+    handle_signals: bool = True,
 ):
     """Train `cfg` on `loader` (a DataLoader). Returns the final TrainState."""
     model = model or STEPDetector(cfg)
@@ -123,6 +124,25 @@ def fit(
     pstep = make_parallel_train_step(cfg, model, mesh)
     logger = MetricsLogger(log_dir)
     rng = jax.random.PRNGKey(seed + 1)
+
+    # Preemption safety: SIGTERM/SIGINT (what cluster schedulers and TPU
+    # maintenance events send) flips a flag; the step loop then writes a
+    # final checkpoint and returns cleanly, so `resume=True` continues
+    # mid-epoch with no lost work (reference analog: none — torch training
+    # dies and replays from the last periodic checkpoint).
+    stop_signal = {"seen": None}
+    orig_handlers = {}
+    if handle_signals and ckpt_dir:
+        import signal as _signal
+
+        def _on_signal(signum, frame):
+            stop_signal["seen"] = signum
+
+        for sig in (_signal.SIGTERM, _signal.SIGINT):
+            try:
+                orig_handlers[sig] = _signal.signal(sig, _on_signal)
+            except ValueError:       # not the main thread
+                break
 
     # The device must be able to run AHEAD of the host: reading
     # `int(state.step)` (or any metric) every iteration is a device sync
@@ -166,8 +186,17 @@ def fit(
                 ))
                 t_last = now
                 done = host_step >= cfg.total_steps
-                if len(pending) >= logger.print_every or done:
+                preempted = stop_signal["seen"] is not None
+                if len(pending) >= logger.print_every or done or preempted:
                     flush()
+                if preempted:
+                    save_checkpoint(
+                        ckpt_dir, state,
+                        {"epoch": epoch, "batch_index": bi + 1}, wait=True)
+                    print(f"signal {stop_signal['seen']}: checkpointed at "
+                          f"step {host_step} (epoch {epoch}, batch {bi + 1}); "
+                          "resume with resume=True", flush=True)
+                    return state
                 if ckpt_dir and host_step % ckpt_every == 0:
                     flush()
                     save_checkpoint(
@@ -186,5 +215,10 @@ def fit(
             save_checkpoint(ckpt_dir, state, {"epoch": num_epochs, "batch_index": 0},
                             wait=True)
     finally:
+        if orig_handlers:
+            import signal as _signal
+
+            for sig, h in orig_handlers.items():
+                _signal.signal(sig, h)
         logger.close()
     return state

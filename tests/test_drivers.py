@@ -200,3 +200,45 @@ def test_metrics_logger_tensorboard(tmp_path):
     tb_dir = os.path.join(logs, "tb")
     if os.path.isdir(tb_dir):  # tensorflow present in this image
         assert any(os.scandir(tb_dir))
+
+
+def test_fit_sigterm_checkpoints_and_resumes(tmp_path):
+    """Preemption: SIGTERM mid-training writes a final checkpoint and
+    returns cleanly; resume=True continues from the preempted step."""
+    import signal
+
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    from step_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh((1,), ("data",), devices=jax.devices()[:1])
+    cfg = CFG.replace(total_steps=4)
+
+    class PreemptingDataset(SynDataset):
+        """Raises SIGTERM in-process while the 3rd batch is being built."""
+
+        def __init__(self):
+            super().__init__(n=8)
+            self.served = 0
+
+        def __getitem__(self, i):
+            self.served += 1
+            if self.served == 5:          # batch 2 (0-indexed), first clip
+                signal.raise_signal(signal.SIGTERM)
+            return super().__getitem__(i)
+
+    loader = DataLoader(PreemptingDataset(), cfg, train=True, num_workers=1,
+                        prefetch=1)
+    state = fit(cfg, loader, num_epochs=1, ckpt_dir=ckpt, ckpt_every=100,
+                mesh=mesh)
+    stopped_at = int(state.step)
+    assert 0 < stopped_at < cfg.total_steps   # preempted before completion
+
+    # handlers restored
+    assert signal.getsignal(signal.SIGTERM) in (signal.SIG_DFL,
+                                                signal.default_int_handler,
+                                                signal.Handlers.SIG_DFL)
+
+    loader2 = DataLoader(SynDataset(), cfg, train=True, num_workers=1)
+    state2 = fit(cfg, loader2, num_epochs=2, ckpt_dir=ckpt, resume=True,
+                 mesh=mesh)
+    assert int(state2.step) == cfg.total_steps
