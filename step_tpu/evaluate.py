@@ -59,23 +59,28 @@ def collect_detections(
     else:
 
         @jax.jit
-        def detect(variables, rgb, proposals, prop_mask):
-            return detect_clip(variables, rgb, proposals, prop_mask, cfg, model)
+        def detect(variables, rgb, proposals, prop_mask, flow=None):
+            return detect_clip(variables, rgb, proposals, prop_mask, cfg,
+                               model, flow)
 
     detections = []
     for bi, batch in enumerate(loader.epoch(0)):
         if max_batches is not None and bi >= max_batches:
             break
         rgb, props, pmask = batch["rgb"], batch["proposals"], batch["prop_mask"]
+        # two-stream configs detect on (rgb, flow); the dataset must be
+        # built with with_flow=True (test.py does this from cfg.two_stream)
+        flow = batch.get("flow") if cfg.two_stream else None
         if mesh is not None:
             rgb, props, pmask = (pad_batch_to(np.asarray(a), n_shards)
                                  for a in (rgb, props, pmask))
-        out = detect(
-            variables,
-            jnp.asarray(rgb),
-            jnp.asarray(props),
-            jnp.asarray(pmask),
-        )
+            if flow is not None:
+                flow = pad_batch_to(np.asarray(flow), n_shards)
+        args = (variables, jnp.asarray(rgb), jnp.asarray(props),
+                jnp.asarray(pmask))
+        if flow is not None:
+            args += (jnp.asarray(flow),)
+        out = detect(*args)
         boxes = np.asarray(out["frame_boxes"])   # [B, T, C, K, 4]
         scores = np.asarray(out["frame_scores"])  # [B, T, C, K]
         mask = np.asarray(out["frame_mask"])

@@ -409,13 +409,27 @@ def make_parallel_detect_fn(cfg: StepConfig, mesh,
     repl = replicated_sharding(mesh)
     bsh = batch_sharding(mesh)
 
-    @functools.partial(
-        jax.jit,
-        in_shardings=(repl, bsh, bsh, bsh),
-        out_shardings=bsh,
-    )
-    def _detect(variables, rgb, proposals, prop_mask):
-        return detect_clip(variables, rgb, proposals, prop_mask, cfg, model)
+    if cfg.two_stream:
+
+        @functools.partial(
+            jax.jit,
+            in_shardings=(repl, bsh, bsh, bsh, bsh),
+            out_shardings=bsh,
+        )
+        def _detect(variables, rgb, proposals, prop_mask, flow):
+            return detect_clip(variables, rgb, proposals, prop_mask, cfg,
+                               model, flow)
+
+    else:
+
+        @functools.partial(
+            jax.jit,
+            in_shardings=(repl, bsh, bsh, bsh),
+            out_shardings=bsh,
+        )
+        def _detect(variables, rgb, proposals, prop_mask):
+            return detect_clip(variables, rgb, proposals, prop_mask, cfg,
+                               model)
 
     return _detect
 

@@ -89,7 +89,8 @@ def main():
         from step_tpu.evaluate import evaluate_ucf
 
         dataset = UCFDataset(args.data_root, cfg, split="test",
-                             annotation_file=args.annotation_file or "UCF101v2-GT.pkl")
+                             annotation_file=args.annotation_file or "UCF101v2-GT.pkl",
+                             with_flow=cfg.two_stream)
         results = evaluate_ucf(variables, dataset, cfg, model,
                                dump_path=args.dump, max_batches=args.max_batches,
                                calibration=args.calibration,

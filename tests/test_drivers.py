@@ -242,3 +242,56 @@ def test_fit_sigterm_checkpoints_and_resumes(tmp_path):
     state2 = fit(cfg, loader2, num_epochs=2, ckpt_dir=ckpt, resume=True,
                  mesh=mesh)
     assert int(state2.step) == cfg.total_steps
+
+
+def test_evaluate_ucf_two_stream(tmp_path):
+    """Two-stream (early-fusion) configs evaluate end-to-end: the flow
+    stream reaches detect (evaluate used to drop batch['flow'] — the model
+    then raises 'two_stream=True requires a flow input'), single-device and
+    mesh-sharded paths agree."""
+    from tests.test_data import _write_jpg
+
+    from step_tpu.data.ucf import UCFDataset
+    from step_tpu.evaluate import evaluate_ucf
+    from step_tpu.parallel.mesh import create_mesh
+
+    root = str(tmp_path / "ucf")
+    rng = np.random.RandomState(0)
+    nframes = {"Run/v1": 6, "Jump/v2": 6}
+    gttubes = {}
+    for video, n in nframes.items():
+        for f in range(n):
+            img = rng.rand(40, 48, 3) * 0.5
+            _write_jpg(os.path.join(root, "rgb-images", video,
+                                    f"{f + 1:05d}.jpg"), img)
+            _write_jpg(os.path.join(root, "brox-images", video,
+                                    f"{f + 1:05d}.jpg"), img)
+        frames = np.arange(1, n + 1, dtype=np.float32)
+        tube = np.stack([frames, np.full_like(frames, 10),
+                         np.full_like(frames, 10),
+                         np.full_like(frames, 30),
+                         np.full_like(frames, 30)], -1)
+        gttubes[video] = {0 if video.startswith("Run") else 1: [tube]}
+    import pickle as _pickle
+
+    with open(os.path.join(root, "UCF101v2-GT.pkl"), "wb") as f:
+        _pickle.dump({"labels": ["Run", "Jump", "Wave"],
+                      "train_videos": [["Run/v1"]],
+                      "test_videos": [["Run/v1", "Jump/v2"]],
+                      "nframes": nframes, "gttubes": gttubes,
+                      "resolution": {v: (40, 48) for v in nframes}}, f)
+
+    cfg = CFG.replace(dataset="ucf101_24", score_thresh=0.0,
+                      two_stream=True)
+    model = STEPDetector(cfg)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), model)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    ds = UCFDataset(root, cfg, split="test", with_flow=True)
+
+    results = evaluate_ucf(variables, ds, cfg, model)
+    assert np.isfinite(results["frame_mAP@0.5"])
+
+    mesh = create_mesh((2,), devices=jax.devices()[:2])
+    results_sh = evaluate_ucf(variables, ds, cfg, model, mesh=mesh)
+    assert results_sh["frame_mAP@0.5"] == pytest.approx(
+        results["frame_mAP@0.5"], abs=1e-3)
