@@ -34,6 +34,7 @@ def collect_detections(
     max_batches: Optional[int] = None,
     image_scale_to_gt: bool = True,
     mesh=None,
+    variables_flow=None,
 ):
     """Run detection over `dataset` → list of (frame_key, cls, score, box).
 
@@ -44,6 +45,11 @@ def collect_detections(
     `mesh`: optional `jax.sharding.Mesh` — shards each detection batch over
     the mesh's data axis (`inference.make_parallel_detect_fn`); ragged final
     batches are padded to the mesh size and the padding dropped host-side.
+
+    `variables_flow`: a SECOND single-stream detector's variables enables
+    the reference late-fusion protocol (`detect_clip_late_fusion`):
+    `variables` is then the RGB-stream detector, scores fuse pre-NMS.
+    Requires a dataset built with flow; not supported with `mesh`.
     """
     model = model or STEPDetector(cfg)
     from step_tpu.data.loader import DataLoader
@@ -51,7 +57,17 @@ def collect_detections(
     loader = DataLoader(dataset, cfg, batch_size=batch_size, shuffle=False,
                         train=False, drop_last=False, num_workers=2)
 
-    if mesh is not None:
+    if variables_flow is not None:
+        if mesh is not None:
+            raise NotImplementedError("late fusion + sharded eval")
+        from step_tpu.inference import detect_clip_late_fusion
+
+        @jax.jit
+        def detect_lf(v_rgb, v_flow, rgb, proposals, prop_mask, flow):
+            return detect_clip_late_fusion(
+                v_rgb, v_flow, rgb, flow, proposals, prop_mask, cfg)
+
+    elif mesh is not None:
         from step_tpu.inference import make_parallel_detect_fn, pad_batch_to
 
         detect = make_parallel_detect_fn(cfg, mesh, model)
@@ -68,19 +84,29 @@ def collect_detections(
         if max_batches is not None and bi >= max_batches:
             break
         rgb, props, pmask = batch["rgb"], batch["proposals"], batch["prop_mask"]
-        # two-stream configs detect on (rgb, flow); the dataset must be
-        # built with with_flow=True (test.py does this from cfg.two_stream)
-        flow = batch.get("flow") if cfg.two_stream else None
+        # two-stream / late-fusion configs detect on (rgb, flow); the
+        # dataset must be built with with_flow=True (test.py wires this)
+        need_flow = cfg.two_stream or variables_flow is not None
+        flow = batch.get("flow") if need_flow else None
+        if need_flow and flow is None:
+            raise ValueError(
+                "two-stream/late-fusion eval needs a flow-enabled dataset "
+                "(UCFDataset(with_flow=True))")
         if mesh is not None:
             rgb, props, pmask = (pad_batch_to(np.asarray(a), n_shards)
                                  for a in (rgb, props, pmask))
             if flow is not None:
                 flow = pad_batch_to(np.asarray(flow), n_shards)
-        args = (variables, jnp.asarray(rgb), jnp.asarray(props),
-                jnp.asarray(pmask))
-        if flow is not None:
-            args += (jnp.asarray(flow),)
-        out = detect(*args)
+        if variables_flow is not None:
+            out = detect_lf(variables, variables_flow, jnp.asarray(rgb),
+                            jnp.asarray(props), jnp.asarray(pmask),
+                            jnp.asarray(flow))
+        else:
+            args = (variables, jnp.asarray(rgb), jnp.asarray(props),
+                    jnp.asarray(pmask))
+            if flow is not None:
+                args += (jnp.asarray(flow),)
+            out = detect(*args)
         boxes = np.asarray(out["frame_boxes"])   # [B, T, C, K, 4]
         scores = np.asarray(out["frame_scores"])  # [B, T, C, K]
         mask = np.asarray(out["frame_mask"])
@@ -228,6 +254,7 @@ def evaluate_ucf(
     calibration=None,
     fit_calibration_path: Optional[str] = None,
     mesh=None,
+    variables_flow=None,
 ):
     """UCF101-24-style eval: frame-mAP@0.5 + video-mAP over linked tubes.
 
@@ -239,7 +266,8 @@ def evaluate_ucf(
     """
     detections = dedupe_frame_detections(
         collect_detections(variables, dataset, cfg, model,
-                           max_batches=max_batches, mesh=mesh)
+                           max_batches=max_batches, mesh=mesh,
+                           variables_flow=variables_flow)
     )
     frame_gt, tube_gt = dataset.video_groundtruth()
     if fit_calibration_path:

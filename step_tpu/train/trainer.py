@@ -65,7 +65,10 @@ def create_train_state(
 ) -> TrainState:
     model = model or STEPDetector(cfg)
     B, T = 1, cfg.total_frames
-    rgb = jnp.zeros((B, T, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    # a flow-stream detector (late-fusion protocol) takes 2-channel flow
+    # as its PRIMARY input — init must match or restored params mismatch
+    in_ch = 3 if cfg.input_stream == "rgb" else 2
+    rgb = jnp.zeros((B, T, cfg.image_size, cfg.image_size, in_ch), jnp.float32)
     flow = jnp.zeros((B, T, cfg.image_size, cfg.image_size, 2), jnp.float32) if cfg.two_stream else None
     props, _ = STEPDetector.initial_proposals(cfg, B)
     variables = jax.jit(model.init)(rng, rgb, props, flow)
@@ -87,13 +90,16 @@ def train_step(state: TrainState, batch: dict, rng: jax.Array,
     gt_tubes, gt_labels, gt_mask."""
 
     dropout_rng = jax.random.fold_in(rng, state.step)
+    # flow-stream detectors (late-fusion protocol) train on the flow tensor
+    # as the primary input; the secondary flow arg is only for two_stream
+    primary = batch["rgb"] if cfg.input_stream == "rgb" else batch["flow"]
 
     def loss_fn(params):
         outputs, mutated = model.apply(
             {"params": params, "batch_stats": state.batch_stats},
-            batch["rgb"],
+            primary,
             batch["proposals"],
-            batch.get("flow"),
+            batch.get("flow") if cfg.two_stream else None,
             train=True,
             rngs={"dropout": dropout_rng},
             mutable=["batch_stats"],
@@ -140,8 +146,8 @@ def eval_forward(state: TrainState, batch: dict, cfg: StepConfig, model: STEPDet
     """Inference forward (no dropout, running BN stats)."""
     return model.apply(
         {"params": state.params, "batch_stats": state.batch_stats},
-        batch["rgb"],
+        batch["rgb"] if cfg.input_stream == "rgb" else batch["flow"],
         batch["proposals"],
-        batch.get("flow"),
+        batch.get("flow") if cfg.two_stream else None,
         train=False,
     )

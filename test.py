@@ -34,6 +34,9 @@ def parse_args():
                    help="AVA frame-extraction rate (frames per second)")
     p.add_argument("--sharded", action="store_true",
                    help="batch-shard detection over all devices (DP eval)")
+    p.add_argument("--flow-ckpt-dir", default=None,
+                   help="second (flow-stream) checkpoint — enables the "
+                        "reference late-fusion protocol (UCF only)")
     from step_tpu.utils.cli import add_common_args
 
     add_common_args(p)
@@ -56,6 +59,10 @@ def main():
     if args.tiny:
         cfg = cfg.replace(backbone_depth="tiny", feature_stride=8)
     cfg = apply_overrides(cfg, args.overrides)
+    if args.flow_ckpt_dir:
+        # late fusion: the primary checkpoint is the single-stream RGB
+        # detector regardless of the preset's two_stream flag
+        cfg = cfg.replace(two_stream=False, input_stream="rgb")
     model = STEPDetector(cfg)
     state = create_train_state(cfg, jax.random.PRNGKey(0), model)
     state, _ = restore_checkpoint(args.ckpt_dir, state)
@@ -67,6 +74,16 @@ def main():
 
         mesh = create_mesh()
         print(f"sharded eval over {mesh.devices.size} devices", flush=True)
+
+    variables_flow = None
+    if args.flow_ckpt_dir:
+        # late-fusion protocol: a second single-stream detector on flow
+        cfg_flow = cfg.replace(two_stream=False, input_stream="flow")
+        state_flow = create_train_state(
+            cfg_flow, jax.random.PRNGKey(0), STEPDetector(cfg_flow))
+        state_flow, _ = restore_checkpoint(args.flow_ckpt_dir, state_flow)
+        variables_flow = {"params": state_flow.params,
+                          "batch_stats": state_flow.batch_stats}
 
     if cfg.dataset == "ava":
         from step_tpu.data.ava import AVADataset
@@ -90,12 +107,12 @@ def main():
 
         dataset = UCFDataset(args.data_root, cfg, split="test",
                              annotation_file=args.annotation_file or "UCF101v2-GT.pkl",
-                             with_flow=cfg.two_stream)
+                             with_flow=cfg.two_stream or bool(args.flow_ckpt_dir))
         results = evaluate_ucf(variables, dataset, cfg, model,
                                dump_path=args.dump, max_batches=args.max_batches,
                                calibration=args.calibration,
                                fit_calibration_path=args.fit_calibration,
-                               mesh=mesh)
+                               mesh=mesh, variables_flow=variables_flow)
     for k, v in results.items():
         print(f"{k}: {v:.4f}")
 

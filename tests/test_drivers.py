@@ -295,3 +295,55 @@ def test_evaluate_ucf_two_stream(tmp_path):
     results_sh = evaluate_ucf(variables, ds, cfg, model, mesh=mesh)
     assert results_sh["frame_mAP@0.5"] == pytest.approx(
         results["frame_mAP@0.5"], abs=1e-3)
+
+
+def test_evaluate_ucf_late_fusion_protocol(tmp_path):
+    """Dataset-level late-fusion eval (reference test-time protocol): two
+    single-stream detectors, scores fused pre-NMS, driven through
+    evaluate_ucf(variables_flow=...)."""
+    from tests.test_data import _write_jpg
+
+    from step_tpu.data.ucf import UCFDataset
+    from step_tpu.evaluate import evaluate_ucf
+
+    root = str(tmp_path / "ucf")
+    rng = np.random.RandomState(1)
+    n = 6
+    for f in range(n):
+        img = rng.rand(40, 48, 3) * 0.5
+        _write_jpg(os.path.join(root, "rgb-images", "Run/v1",
+                                f"{f + 1:05d}.jpg"), img)
+        _write_jpg(os.path.join(root, "brox-images", "Run/v1",
+                                f"{f + 1:05d}.jpg"), img)
+    frames = np.arange(1, n + 1, dtype=np.float32)
+    tube = np.stack([frames, np.full_like(frames, 10),
+                     np.full_like(frames, 10), np.full_like(frames, 30),
+                     np.full_like(frames, 30)], -1)
+    import pickle as _pickle
+
+    with open(os.path.join(root, "UCF101v2-GT.pkl"), "wb") as f:
+        _pickle.dump({"labels": ["Run", "Jump", "Wave"],
+                      "train_videos": [[]], "test_videos": [["Run/v1"]],
+                      "nframes": {"Run/v1": n},
+                      "gttubes": {"Run/v1": {0: [tube]}},
+                      "resolution": {"Run/v1": (40, 48)}}, f)
+
+    cfg = CFG.replace(dataset="ucf101_24", score_thresh=0.0,
+                      two_stream=False, two_stream_fusion="late")
+    cfg_rgb = cfg.replace(input_stream="rgb")
+    cfg_flow = cfg.replace(input_stream="flow")
+    sr = create_train_state(cfg_rgb, jax.random.PRNGKey(0),
+                            STEPDetector(cfg_rgb))
+    sf = create_train_state(cfg_flow, jax.random.PRNGKey(1),
+                            STEPDetector(cfg_flow))
+    v_rgb = {"params": sr.params, "batch_stats": sr.batch_stats}
+    v_flow = {"params": sf.params, "batch_stats": sf.batch_stats}
+
+    ds = UCFDataset(root, cfg, split="test", with_flow=True)
+    results = evaluate_ucf(v_rgb, ds, cfg, variables_flow=v_flow)
+    assert np.isfinite(results["frame_mAP@0.5"])
+
+    # missing flow in the dataset is a clear error, not a crash deep inside
+    ds_noflow = UCFDataset(root, cfg, split="test", with_flow=False)
+    with pytest.raises(ValueError, match="flow-enabled dataset"):
+        evaluate_ucf(v_rgb, ds_noflow, cfg, variables_flow=v_flow)

@@ -180,3 +180,38 @@ def test_match_tubes_forced_best_match():
     _, _, pos3 = match_tubes(props, gt, gt_mask, fmask, 0.5,
                              force_best_match=False)
     assert float(pos3.sum()) == 0.0
+
+
+def test_flow_stream_detector_trains():
+    """input_stream='flow' (late-fusion protocol second detector): init
+    builds a 2-channel stem and a train step on (rgb, flow) batches feeds
+    the flow tensor as the primary input."""
+    from step_tpu.config import StepConfig
+    from step_tpu.data.synthetic import SyntheticConfig, make_batch, make_flow
+    from step_tpu.data.pipeline import build_model_batch
+    from step_tpu.models.detector import STEPDetector
+    from step_tpu.train.trainer import create_train_state, train_step
+
+    cfg = StepConfig(
+        dataset="synthetic", num_classes=3, frames_per_chunk=2, num_chunks=1,
+        num_steps=1, iou_thresholds=(0.4,), step_loss_weights=(1.0,),
+        temporal_extension=False, image_size=32, backbone_depth="tiny",
+        feature_stride=8, pooled_size=4, max_proposals=12, max_gt_tubes=2,
+        compute_dtype="float32", batch_size=2, warmup_steps=1, total_steps=4,
+        input_stream="flow", two_stream=False,
+    )
+    model = STEPDetector(cfg)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), model)
+    stem_kernel = state.params["features"]["stem_rgb"]["Conv3d_1a_7x7"]
+    kernels = [l for l in jax.tree_util.tree_leaves(stem_kernel) if l.ndim >= 4]
+    assert kernels and kernels[0].shape[-2] == 2   # 2-channel (flow) stem
+
+    raw = make_batch(0, 2, SyntheticConfig(image_size=32, num_frames=2,
+                                           num_classes=3, max_boxes=2))
+    raw["flow"] = np.stack([make_flow(c) for c in raw["rgb"]])
+    batch = {kk: jnp.asarray(v) for kk, v in
+             build_model_batch(raw, cfg, train=True, seed=0).items()
+             if kk != "meta"}
+    state2, metrics = train_step(state, batch, jax.random.PRNGKey(1), cfg, model)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1

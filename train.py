@@ -109,7 +109,8 @@ def build_dataset(cfg, args):
 
     return UCFDataset(args.data_root, cfg, split="train",
                       annotation_file=args.annotation_file or "UCF101v2-GT.pkl",
-                      augment=True, with_flow=cfg.two_stream)
+                      augment=True,
+                      with_flow=cfg.two_stream or cfg.input_stream == "flow")
 
 
 def main():
