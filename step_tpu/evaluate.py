@@ -84,14 +84,18 @@ def collect_detections(
         if max_batches is not None and bi >= max_batches:
             break
         rgb, props, pmask = batch["rgb"], batch["proposals"], batch["prop_mask"]
-        # two-stream / late-fusion configs detect on (rgb, flow); the
+        # two-stream / late-fusion / flow-stream configs need flow; the
         # dataset must be built with with_flow=True (test.py wires this)
-        need_flow = cfg.two_stream or variables_flow is not None
+        need_flow = (cfg.two_stream or variables_flow is not None
+                     or cfg.input_stream == "flow")
         flow = batch.get("flow") if need_flow else None
         if need_flow and flow is None:
             raise ValueError(
-                "two-stream/late-fusion eval needs a flow-enabled dataset "
-                "(UCFDataset(with_flow=True))")
+                "two-stream/late-fusion/flow-stream eval needs a "
+                "flow-enabled dataset (UCFDataset(with_flow=True))")
+        if cfg.input_stream == "flow" and variables_flow is None:
+            # a standalone flow-stream detector: flow IS the primary input
+            rgb, flow = flow, None
         if mesh is not None:
             rgb, props, pmask = (pad_batch_to(np.asarray(a), n_shards)
                                  for a in (rgb, props, pmask))
@@ -313,6 +317,10 @@ def evaluate_ava(
     reads the NMS survivors at the keyframe (central frame) only.
     `mesh`: optional device mesh for batch-sharded DP detection.
     """
+    if cfg.two_stream or cfg.input_stream != "rgb":
+        raise ValueError(
+            "AVA evaluation is RGB-only (the dataset has no flow stream); "
+            "got two_stream/input_stream overrides")
     model = model or STEPDetector(cfg)
     from step_tpu.data.loader import DataLoader
 

@@ -136,6 +136,14 @@ def fit(
         import signal as _signal
 
         def _on_signal(signum, frame):
+            if stop_signal["seen"] is not None:
+                # second signal: the loop hasn't reached a checkpointable
+                # boundary (e.g. blocked in a wedged device call) — restore
+                # the default action and let it proceed, so the process
+                # stays killable without SIGKILL
+                _signal.signal(signum, orig_handlers.get(signum, _signal.SIG_DFL))
+                _signal.raise_signal(signum)
+                return
             stop_signal["seen"] = signum
 
         for sig in (_signal.SIGTERM, _signal.SIGINT):

@@ -92,6 +92,11 @@ def train_step(state: TrainState, batch: dict, rng: jax.Array,
     dropout_rng = jax.random.fold_in(rng, state.step)
     # flow-stream detectors (late-fusion protocol) train on the flow tensor
     # as the primary input; the secondary flow arg is only for two_stream
+    if cfg.input_stream != "rgb" and "flow" not in batch:
+        raise ValueError(
+            f"input_stream={cfg.input_stream!r} training needs a "
+            "flow-enabled dataset (batch has no 'flow'; use "
+            "UCFDataset(with_flow=True) — synthetic/AVA carry no flow)")
     primary = batch["rgb"] if cfg.input_stream == "rgb" else batch["flow"]
 
     def loss_fn(params):

@@ -76,6 +76,9 @@ def main():
         print(f"sharded eval over {mesh.devices.size} devices", flush=True)
 
     variables_flow = None
+    if args.flow_ckpt_dir and cfg.dataset == "ava":
+        raise SystemExit("--flow-ckpt-dir is UCF-only: AVA has no flow "
+                         "stream, the late-fusion protocol does not apply")
     if args.flow_ckpt_dir:
         # late-fusion protocol: a second single-stream detector on flow
         cfg_flow = cfg.replace(two_stream=False, input_stream="flow")
@@ -107,7 +110,8 @@ def main():
 
         dataset = UCFDataset(args.data_root, cfg, split="test",
                              annotation_file=args.annotation_file or "UCF101v2-GT.pkl",
-                             with_flow=cfg.two_stream or bool(args.flow_ckpt_dir))
+                             with_flow=(cfg.two_stream or bool(args.flow_ckpt_dir)
+                                        or cfg.input_stream == "flow"))
         results = evaluate_ucf(variables, dataset, cfg, model,
                                dump_path=args.dump, max_batches=args.max_batches,
                                calibration=args.calibration,

@@ -347,3 +347,52 @@ def test_evaluate_ucf_late_fusion_protocol(tmp_path):
     ds_noflow = UCFDataset(root, cfg, split="test", with_flow=False)
     with pytest.raises(ValueError, match="flow-enabled dataset"):
         evaluate_ucf(v_rgb, ds_noflow, cfg, variables_flow=v_flow)
+
+
+def test_evaluate_ucf_flow_stream_standalone(tmp_path):
+    """A standalone flow-stream detector (input_stream='flow') evaluates:
+    the flow tensor is fed as the primary input (evaluate used to always
+    feed rgb into the 2-channel stem)."""
+    from tests.test_data import _write_jpg
+
+    from step_tpu.data.ucf import UCFDataset
+    from step_tpu.evaluate import evaluate_ucf
+
+    root = str(tmp_path / "ucf")
+    rng = np.random.RandomState(2)
+    n = 6
+    for f in range(n):
+        img = rng.rand(40, 48, 3) * 0.5
+        _write_jpg(os.path.join(root, "rgb-images", "Run/v1",
+                                f"{f + 1:05d}.jpg"), img)
+        _write_jpg(os.path.join(root, "brox-images", "Run/v1",
+                                f"{f + 1:05d}.jpg"), img)
+    frames = np.arange(1, n + 1, dtype=np.float32)
+    tube = np.stack([frames, np.full_like(frames, 10),
+                     np.full_like(frames, 10), np.full_like(frames, 30),
+                     np.full_like(frames, 30)], -1)
+    import pickle as _pickle
+
+    with open(os.path.join(root, "UCF101v2-GT.pkl"), "wb") as f:
+        _pickle.dump({"labels": ["Run", "Jump", "Wave"],
+                      "train_videos": [[]], "test_videos": [["Run/v1"]],
+                      "nframes": {"Run/v1": n},
+                      "gttubes": {"Run/v1": {0: [tube]}},
+                      "resolution": {"Run/v1": (40, 48)}}, f)
+
+    cfg = CFG.replace(dataset="ucf101_24", score_thresh=0.0,
+                      two_stream=False, input_stream="flow")
+    model = STEPDetector(cfg)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), model)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    ds = UCFDataset(root, cfg, split="test", with_flow=True)
+    results = evaluate_ucf(variables, ds, cfg, model)
+    assert np.isfinite(results["frame_mAP@0.5"])
+
+
+def test_evaluate_ava_rejects_two_stream():
+    from step_tpu.evaluate import evaluate_ava
+
+    cfg = CFG.replace(dataset="ava", two_stream=True, multilabel=True)
+    with pytest.raises(ValueError, match="RGB-only"):
+        evaluate_ava({}, None, cfg)
