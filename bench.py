@@ -65,9 +65,15 @@ def _chained_time(detect, variables, rgb, proposals, prop_mask, iters: int):
 
 def main():
     cfg = PRESETS["ucf_3step"]
-    model = STEPDetector(cfg)
     device = jax.devices()[0]
-    variables = init_detector_cpu(cfg, jax.random.PRNGKey(0), model, device=device)
+    variables = init_detector_cpu(cfg, jax.random.PRNGKey(0), STEPDetector(cfg))
+    # Serving path: BN folded into conv weights + fused Inception 1x1
+    # branches (models/optimize.py; parity-tested in tests/test_optimize.py)
+    from step_tpu.models.optimize import optimize_for_inference
+
+    cfg, variables = optimize_for_inference(cfg, variables)
+    model = STEPDetector(cfg)
+    variables = jax.device_put(variables, device)
 
     T = cfg.total_frames
     rng = np.random.RandomState(0)
@@ -112,10 +118,13 @@ def main():
                            dtype=jnp.dtype(cfg.compute_dtype))
             Tp = (cfg.total_frames + 3) // 4  # stem temporal stride 4
             cdt = jnp.dtype(cfg.compute_dtype)
+            # rows the per-step tail actually processes (head_compact runs
+            # it on the active slots only)
+            rows = cfg.active_proposals if cfg.head_compact else cfg.max_proposals
             # shape-only lowering: no device memory for the pooled tensor
             # (a live zeros array here is ~835 MB at B=128) or the params
             pooled = jax.ShapeDtypeStruct(
-                (BATCH * cfg.max_proposals, Tp,
+                (BATCH * rows, Tp,
                  cfg.pooled_size, cfg.pooled_size, 832), cdt)
             tvars = jax.eval_shape(
                 tail.init, jax.random.PRNGKey(0),

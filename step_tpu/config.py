@@ -84,6 +84,28 @@ class StepConfig:
     # XLA; the mode stays as the reference-exact semantics + the streaming
     # cache demonstrator, exactness-tested in tests/test_streaming.py.
     chunk_stem: bool = False
+    # Inference-optimized model family (models/optimize.py::
+    # optimize_for_inference builds the matching variable tree from a
+    # standard checkpoint — never hand-set these with standard variables):
+    #   bn_folded: Unit3D drops the BatchNorm op entirely; the conv carries
+    #     a bias with the folded inference affine (k' = k*g/sqrt(v+eps),
+    #     b' = beta - mean*g/sqrt(v+eps)). Exact vs inference BN up to float
+    #     reassociation. Inference-only (no batch stats to update).
+    #   fused_inception: the three 1x1x1 branch convs of every Inception
+    #     block (b0, b1a, b2a) run as ONE conv over concatenated output
+    #     channels then split — one HBM read of the block input instead of
+    #     three, one big matmul instead of three small ones. Exact (requires
+    #     bn_folded; ReLU commutes with the channel split).
+    bn_folded: bool = False
+    fused_inception: bool = False
+    # Run the per-step I3D tail + heads on only the ACTIVE proposal slots
+    # (the first num_proposals + gt_jitter_proposals — initial_cuboids_np /
+    # build_model_batch place real proposals there by construction) instead
+    # of all max_proposals padded slots; outputs are zero-padded back.
+    # Cuts ~31% of the per-step tail compute at the default 11-of-16
+    # occupancy. Exact for every masked consumer (padding slots are never
+    # supervised and are score-masked at the surface).
+    head_compact: bool = True
     # Route inference BN+ReLU through the Pallas fused kernel
     # (ops/fused_bn_relu.py). MEASURED SLOWER than XLA's own conv-epilogue
     # fusion on the full detect program (v5e B=64: 288 vs 167 ms/batch —
@@ -178,6 +200,12 @@ class StepConfig:
     def feature_size(self) -> int:
         return self.image_size // self.feature_stride
 
+    @property
+    def active_proposals(self) -> int:
+        """Slots that can ever hold a real proposal (head_compact bound)."""
+        return min(self.max_proposals,
+                   self.num_proposals + self.gt_jitter_proposals)
+
     def replace(self, **kw) -> "StepConfig":
         return dataclasses.replace(self, **kw)
 
@@ -190,6 +218,10 @@ class StepConfig:
             raise ValueError("need a loss weight per refinement step")
         if self.num_chunks % 2 != 1:
             raise ValueError("num_chunks must be odd (central chunk + symmetric neighbors)")
+        if self.fused_inception and not self.bn_folded:
+            raise ValueError("fused_inception requires bn_folded (the merged "
+                             "1x1x1 conv carries per-branch BN in its "
+                             "folded weights)")
 
 
 # The five BASELINE.json configs as named presets (BASELINE.json::configs).

@@ -82,6 +82,19 @@ def fit_calibration(
         scores, tp = m["matched"][cls]
         if len(scores):
             a[cls], b[cls] = _fit_platt_1d(scores, tp)
+            if a[cls] <= 0.0:
+                # A non-positive slope (scores anti-correlate with
+                # correctness on a small validation sample) would INVERT the
+                # class's ranking and change its AP — calibration must never
+                # do that. Fall back to identity and flag it.
+                import warnings
+
+                warnings.warn(
+                    f"calibration: class {cls} fitted a non-positive Platt "
+                    f"slope ({a[cls]:.4f}); falling back to identity so the "
+                    "per-class ranking is preserved"
+                )
+                a[cls], b[cls] = 1.0, 0.0
     return {"a": a, "b": b}
 
 

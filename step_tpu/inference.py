@@ -188,6 +188,8 @@ def stem_features(variables, x: jnp.ndarray, cfg: StepConfig,
         x = device_preprocess(x)
     fnet = FeatureNet(two_stream=cfg.two_stream, depth=cfg.backbone_depth,
                       s2d=cfg.stem_s2d, fuse_bn_relu=cfg.fused_bn_relu,
+                      bn_folded=cfg.bn_folded,
+                      fused_inception=cfg.fused_inception,
                       conv_impl=cfg.conv3d_impl, dtype=dtype)
     bs = variables.get("batch_stats", FrozenDict())
     fvars = {"params": variables["params"]["features"]}

@@ -85,12 +85,20 @@ class _StepBody(nn.Module):
                     cfg.sampling_ratio, impl=cfg.roi_impl,
                 )
             )(feat, tubes)                  # [B, P, T', 7, 7, C]
-        pooled = pooled.reshape(B * P, Tp, cfg.pooled_size, cfg.pooled_size, -1)
+        # head_compact: only the first `active_proposals` slots can ever
+        # hold a real proposal (initial_cuboids_np + build_model_batch fill
+        # padding at the tail) — run the expensive per-step tail + heads on
+        # those rows only and zero-pad the outputs back. Padding slots are
+        # never supervised and are score-masked at the surface, so this is
+        # exact for every consumer.
+        Pa = min(P, cfg.active_proposals) if cfg.head_compact else P
+        pooled = pooled[:, :Pa].reshape(
+            B * Pa, Tp, cfg.pooled_size, cfg.pooled_size, -1)
 
         ctx_flat = None
         if ctx is not None:
-            ctx_flat = jnp.broadcast_to(ctx[:, None, :], (B, P, ctx.shape[-1]))
-            ctx_flat = ctx_flat.reshape(B * P, -1)
+            ctx_flat = jnp.broadcast_to(ctx[:, None, :], (B, Pa, ctx.shape[-1]))
+            ctx_flat = ctx_flat.reshape(B * Pa, -1)
 
         head = TwoBranchHead(
             num_cls_outputs=cfg.num_cls_outputs,
@@ -98,13 +106,18 @@ class _StepBody(nn.Module):
             dropout_rate=cfg.dropout_rate,
             depth=cfg.backbone_depth,
             fuse_bn_relu=cfg.fused_bn_relu,
+            bn_folded=cfg.bn_folded,
+            fused_inception=cfg.fused_inception,
             conv_impl=cfg.conv3d_impl,
             dtype=jnp.dtype(cfg.compute_dtype),
             name="head",
         )
         cls_logits, deltas = head(pooled, ctx_flat, tpmask, train=self.is_train())
-        cls_logits = cls_logits.reshape(B, P, -1)
-        deltas = deltas.reshape(B, P, T, 4)
+        cls_logits = cls_logits.reshape(B, Pa, -1)
+        deltas = deltas.reshape(B, Pa, T, 4)
+        if Pa < P:
+            cls_logits = jnp.pad(cls_logits, ((0, 0), (0, P - Pa), (0, 0)))
+            deltas = jnp.pad(deltas, ((0, 0), (0, P - Pa), (0, 0), (0, 0)))
 
         # Decode on active frames; inactive frames are filled by linear-motion
         # extrapolation (the reference's temporal extension between steps).
@@ -152,6 +165,8 @@ class STEPDetector(nn.Module):
             rgb = device_preprocess(rgb)
         feat = FeatureNet(two_stream=cfg.two_stream, depth=cfg.backbone_depth,
                            s2d=cfg.stem_s2d, fuse_bn_relu=cfg.fused_bn_relu,
+                           bn_folded=cfg.bn_folded,
+                           fused_inception=cfg.fused_inception,
                            conv_impl=cfg.conv3d_impl,
                            chunk_stem=cfg.chunk_stem,
                            num_chunks=cfg.num_chunks,

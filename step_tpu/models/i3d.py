@@ -52,6 +52,7 @@ class _S2DConv(nn.Module):
     features: int
     kernel: Tuple[int, int, int]
     stride: Tuple[int, int, int]
+    use_bias: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -64,9 +65,14 @@ class _S2DConv(nn.Module):
             (*self.kernel, x.shape[-1], self.features),
             jnp.float32,
         )
-        return space_to_depth_conv3d(
+        y = space_to_depth_conv3d(
             x.astype(self.dtype), k.astype(self.dtype), self.stride
         )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+            y = y + b.astype(y.dtype)
+        return y
 
 
 class _FastConv(nn.Module):
@@ -147,17 +153,22 @@ class Unit3D(nn.Module):
     use_bias: bool = False
     s2d: bool = False
     fuse_bn_relu: bool = False
+    # bn_folded: inference-only variant with NO BatchNorm op — the conv
+    # carries a bias holding the folded BN affine. Variables come from
+    # models/optimize.py::fold_bn_variables, never from a raw checkpoint.
+    bn_folded: bool = False
     conv_impl: str = "direct"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        use_bias = self.use_bias or (self.bn_folded and self.use_bn)
         if self.s2d:
             x = _S2DConv(self.features, self.kernel, self.stride,
-                         dtype=self.dtype, name="conv")(x)
+                         use_bias=use_bias, dtype=self.dtype, name="conv")(x)
         elif self.conv_impl != "direct":
             x = _FastConv(self.features, self.kernel, self.stride,
-                          impl=self.conv_impl, use_bias=self.use_bias,
+                          impl=self.conv_impl, use_bias=use_bias,
                           dtype=self.dtype, name="conv")(x)
         else:
             x = nn.Conv(
@@ -165,10 +176,12 @@ class Unit3D(nn.Module):
                 kernel_size=self.kernel,
                 strides=self.stride,
                 padding="SAME",
-                use_bias=self.use_bias,
+                use_bias=use_bias,
                 dtype=self.dtype,
                 name="conv",
             )(x)
+        if self.bn_folded:
+            return nn.relu(x) if self.use_relu else x
         if self.use_bn:
             if self.fuse_bn_relu and self.use_relu and not train:
                 return _FusedBNReLU(name="bn")(x)
@@ -193,14 +206,15 @@ import os as _os
 # -inf per axis). MEASURED full-program: 190.8 vs 188.7 ms/batch — no win
 # (XLA's single-pass emitter already avoids the window-volume re-reads),
 # so "direct" stays the default; the toggle remains for re-measurement on
-# future XLA versions.
-_POOL3D_IMPL = _os.environ.get("STEP_TPU_POOL3D", "direct")
+# future XLA versions. The env var is read per call (it is trace-time-only
+# cost) so setting STEP_TPU_POOL3D after import still takes effect.
 
 
 def max_pool_3d(x, window: Tuple[int, int, int], stride: Tuple[int, int, int]):
     """TF-SAME 3D max pool over [B, T, H, W, C] (reference
     ``MaxPool3dTFPadding``: torch needs manual asymmetric padding; lax's
     'SAME' implements the TF rule natively)."""
+    _POOL3D_IMPL = _os.environ.get("STEP_TPU_POOL3D", "direct")
     if (_POOL3D_IMPL == "pallas" and window == (3, 3, 3)
             and stride == (1, 1, 1)):
         from step_tpu.ops.pool_pallas import (max_pool3x3_same_pallas,
@@ -230,10 +244,21 @@ def max_pool_3d(x, window: Tuple[int, int, int], stride: Tuple[int, int, int]):
 
 
 class InceptionBlock(nn.Module):
-    """Inflated Inception module: four parallel branches, channel-concat."""
+    """Inflated Inception module: four parallel branches, channel-concat.
+
+    `fused_inception` (inference-only, requires `bn_folded`): the three
+    1x1x1 branch convs (b0, b1a, b2a) — which all read the block input —
+    run as ONE conv over concatenated output channels, then split. One HBM
+    read of x instead of three and one large matmul instead of three small
+    ones; exact because ReLU commutes with the channel split and the folded
+    BN affines concatenate with the kernels (variables from
+    models/optimize.py::fuse_inception_variables).
+    """
 
     channels: Sequence[int]  # (b0, b1r, b1, b2r, b2, b3)
     fuse_bn_relu: bool = False
+    bn_folded: bool = False
+    fused_inception: bool = False
     conv_impl: str = "direct"
     dtype: jnp.dtype = jnp.float32
 
@@ -241,12 +266,19 @@ class InceptionBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         c = self.channels
         u = lambda f, k, name: Unit3D(f, k, fuse_bn_relu=self.fuse_bn_relu,
+                                      bn_folded=self.bn_folded,
                                       conv_impl=self.conv_impl,
                                       dtype=self.dtype, name=name)
-        b0 = u(c[0], (1, 1, 1), "b0")(x, train)
-        b1 = u(c[1], (1, 1, 1), "b1a")(x, train)
+        if self.fused_inception:
+            y = u(c[0] + c[1] + c[3], (1, 1, 1), "b012")(x, train)
+            b0 = y[..., : c[0]]
+            b1 = y[..., c[0] : c[0] + c[1]]
+            b2 = y[..., c[0] + c[1] :]
+        else:
+            b0 = u(c[0], (1, 1, 1), "b0")(x, train)
+            b1 = u(c[1], (1, 1, 1), "b1a")(x, train)
+            b2 = u(c[3], (1, 1, 1), "b2a")(x, train)
         b1 = u(c[2], (3, 3, 3), "b1b")(b1, train)
-        b2 = u(c[3], (1, 1, 1), "b2a")(x, train)
         b2 = u(c[4], (3, 3, 3), "b2b")(b2, train)
         b3 = max_pool_3d(x, (3, 3, 3), (1, 1, 1))
         b3 = u(c[5], (1, 1, 1), "b3b")(b3, train)
@@ -269,6 +301,8 @@ class I3DStem(nn.Module):
     depth: str = "full"
     s2d: bool = False
     fuse_bn_relu: bool = False
+    bn_folded: bool = False
+    fused_inception: bool = False
     conv_impl: str = "direct"
     dtype: jnp.dtype = jnp.float32
 
@@ -276,11 +310,13 @@ class I3DStem(nn.Module):
     def __call__(self, x, train: bool = False):
         unit = lambda f, k, s, name: Unit3D(
             f, k, s, s2d=self.s2d and s[1:] == (2, 2),
-            fuse_bn_relu=self.fuse_bn_relu, conv_impl=self.conv_impl,
+            fuse_bn_relu=self.fuse_bn_relu, bn_folded=self.bn_folded,
+            conv_impl=self.conv_impl,
             dtype=self.dtype, name=name,
         )
         block = lambda ch, name: InceptionBlock(
-            ch, fuse_bn_relu=self.fuse_bn_relu, conv_impl=self.conv_impl,
+            ch, fuse_bn_relu=self.fuse_bn_relu, bn_folded=self.bn_folded,
+            fused_inception=self.fused_inception, conv_impl=self.conv_impl,
             dtype=self.dtype, name=name
         )
         if self.depth == "tiny":
@@ -317,13 +353,16 @@ class I3DTail(nn.Module):
     pool_5a: bool = False
     depth: str = "full"
     fuse_bn_relu: bool = False
+    bn_folded: bool = False
+    fused_inception: bool = False
     conv_impl: str = "direct"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         block = lambda ch, name: InceptionBlock(
-            ch, fuse_bn_relu=self.fuse_bn_relu, conv_impl=self.conv_impl,
+            ch, fuse_bn_relu=self.fuse_bn_relu, bn_folded=self.bn_folded,
+            fused_inception=self.fused_inception, conv_impl=self.conv_impl,
             dtype=self.dtype, name=name
         )
         if self.pool_5a:
@@ -346,15 +385,21 @@ class I3DClassifier(nn.Module):
     dropout_rate: float = 0.5
     s2d: bool = False
     fuse_bn_relu: bool = False
+    bn_folded: bool = False
+    fused_inception: bool = False
     conv_impl: str = "direct"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = I3DStem(s2d=self.s2d, fuse_bn_relu=self.fuse_bn_relu,
+                    bn_folded=self.bn_folded,
+                    fused_inception=self.fused_inception,
                     conv_impl=self.conv_impl, dtype=self.dtype,
                     name="stem")(x, train)
         x = I3DTail(pool_5a=True, fuse_bn_relu=self.fuse_bn_relu,
+                    bn_folded=self.bn_folded,
+                    fused_inception=self.fused_inception,
                     conv_impl=self.conv_impl, dtype=self.dtype,
                     name="tail")(x, train)
         # global spatial average pool, keep time; then 1x1x1 conv logits

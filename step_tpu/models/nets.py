@@ -40,6 +40,8 @@ class FeatureNet(nn.Module):
     depth: str = "full"
     s2d: bool = False
     fuse_bn_relu: bool = False
+    bn_folded: bool = False
+    fused_inception: bool = False
     conv_impl: str = "direct"
     # chunk_stem: run the stem independently per chunk (reference BaseNet
     # semantics), folding the chunk axis into batch. Enables the streaming
@@ -61,6 +63,8 @@ class FeatureNet(nn.Module):
     def __call__(self, rgb, flow=None, train: bool = False):
         stem = lambda name: I3DStem(depth=self.depth, s2d=self.s2d,
                                     fuse_bn_relu=self.fuse_bn_relu,
+                                    bn_folded=self.bn_folded,
+                                    fused_inception=self.fused_inception,
                                     conv_impl=self.conv_impl,
                                     dtype=self.dtype, name=name)
         feat = self._stem_apply(stem("stem_rgb"), rgb, train)
@@ -70,7 +74,7 @@ class FeatureNet(nn.Module):
             flow_feat = self._stem_apply(stem("stem_flow"), flow, train)
             feat = jnp.concatenate([feat, flow_feat], axis=-1)
             feat = Unit3D(832, (1, 1, 1), fuse_bn_relu=self.fuse_bn_relu,
-                          conv_impl=self.conv_impl,
+                          bn_folded=self.bn_folded, conv_impl=self.conv_impl,
                           dtype=self.dtype, name="fusion")(feat, train)
         return feat
 
@@ -105,6 +109,8 @@ class TwoBranchHead(nn.Module):
     dropout_rate: float = 0.3
     depth: str = "full"
     fuse_bn_relu: bool = False
+    bn_folded: bool = False
+    fused_inception: bool = False
     conv_impl: str = "direct"
     reg_channels: int = 64          # 1x1 channel reduction before the
                                     # spatially-flattened regression Dense
@@ -115,6 +121,8 @@ class TwoBranchHead(nn.Module):
         """pooled [P, T', 7, 7, C]; ctx [P, ctx_dim] or None; tprime_mask [T']."""
         P, Tp = pooled.shape[0], pooled.shape[1]
         x = I3DTail(depth=self.depth, fuse_bn_relu=self.fuse_bn_relu,
+                    bn_folded=self.bn_folded,
+                    fused_inception=self.fused_inception,
                     conv_impl=self.conv_impl, dtype=self.dtype,
                     name="tail")(pooled, train)  # [P,T',7,7,1024]
 

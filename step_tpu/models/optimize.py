@@ -1,0 +1,134 @@
+"""Inference-time variable optimization: BN folding + Inception 1x1 fusion.
+
+Reference parity: none — the reference serves the raw training graph
+(``test.py`` loads the train-time nn.Modules (recon)). On TPU the
+inference program is worth specializing: BatchNorm in inference mode is a
+per-channel affine that can be folded INTO the conv weights (removing the
+op, its params, and its epilogue traffic entirely), and the three 1x1x1
+branch convs of every Inception block can be merged into one conv
+(one HBM read of the block input instead of three).
+
+Checkpoints stay in the standard (trainable) layout; this module derives
+the optimized variable tree at load time:
+
+    cfg_opt, vars_opt = optimize_for_inference(cfg, variables)
+    detect = make_detect_fn(cfg_opt)
+    out = detect(vars_opt, rgb, proposals, prop_mask)
+
+Both transforms are exact up to float reassociation (parity-tested in
+tests/test_optimize.py). The optimized model has no batch_stats collection
+and cannot train.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+from step_tpu.config import StepConfig
+from step_tpu.models.i3d import BN_EPS
+
+# An InceptionBlock scope is recognized by exactly its six branch children.
+_INCEPTION_KEYS = {"b0", "b1a", "b1b", "b2a", "b2b", "b3b"}
+
+
+def _as_mutable(tree):
+    """FrozenDict / dict → plain nested dict (leaves shared, not copied)."""
+    if hasattr(tree, "items"):
+        return {k: _as_mutable(v) for k, v in tree.items()}
+    return tree
+
+
+def _bcast_last(vec, ndim: int):
+    """Reshape a [..., C] per-channel vector to broadcast against a
+    [..., k, k, k, Cin, C]-style tensor of rank `ndim` (leading stack dims
+    — e.g. the scanned per-step axis — stay aligned)."""
+    lead = vec.shape[:-1]
+    return vec.reshape(lead + (1,) * (ndim - vec.ndim) + vec.shape[-1:])
+
+
+def fold_bn_variables(variables) -> Dict[str, Any]:
+    """Fold every (conv, bn) Unit3D pair into a (kernel', bias') conv.
+
+    Works on the standard variable tree ({"params", "batch_stats"}); returns
+    {"params": ...} for the same model built with ``bn_folded=True``.
+    Handles scan-stacked per-step params (leading S axis) transparently.
+    """
+    params = _as_mutable(variables["params"])
+    stats = _as_mutable(variables.get("batch_stats", {}))
+
+    def walk(p, s):
+        if not isinstance(p, dict):
+            return p
+        if "conv" in p and "bn" in p and "kernel" in p.get("conv", {}):
+            # numpy on purpose: this is a host-side load-time transform —
+            # jnp here would dispatch per-leaf device ops (costly through
+            # the relay transport; see CLAUDE.md).
+            bn_p, bn_s = p["bn"], (s or {}).get("bn", {})
+            kernel = np.asarray(p["conv"]["kernel"], np.float32)
+            gamma = np.asarray(bn_p["scale"], np.float32)
+            beta = np.asarray(bn_p["bias"], np.float32)
+            mean = np.asarray(bn_s["mean"], np.float32)
+            var = np.asarray(bn_s["var"], np.float32)
+            scale = gamma / np.sqrt(var + BN_EPS)
+            bias = beta - mean * scale
+            if "bias" in p["conv"]:
+                bias = bias + np.asarray(p["conv"]["bias"], np.float32) * scale
+            out = {k: walk(v, (s or {}).get(k)) for k, v in p.items()
+                   if k not in ("conv", "bn")}
+            out["conv"] = {"kernel": kernel * _bcast_last(scale, kernel.ndim),
+                           "bias": bias}
+            return out
+        return {k: walk(v, (s or {}).get(k)) for k, v in p.items()}
+
+    return {"params": walk(params, stats)}
+
+
+def fuse_inception_variables(folded: Dict[str, Any]) -> Dict[str, Any]:
+    """Merge each InceptionBlock's b0/b1a/b2a folded convs into one "b012"
+    conv (kernel/bias concatenated on the output-channel axis). Input must
+    already be BN-folded (`fold_bn_variables`)."""
+
+    def walk(p):
+        if not isinstance(p, dict):
+            return p
+        out = {k: walk(v) for k, v in p.items()}
+        if _INCEPTION_KEYS.issubset(out.keys()):
+            parts = [out.pop(k)["conv"] for k in ("b0", "b1a", "b2a")]
+            for c in parts:
+                if "bias" not in c:
+                    raise ValueError(
+                        "fuse_inception_variables needs BN-folded convs "
+                        "(run fold_bn_variables first)")
+            out["b012"] = {"conv": {
+                "kernel": np.concatenate(
+                    [np.asarray(c["kernel"], np.float32) for c in parts],
+                    axis=-1),
+                "bias": np.concatenate(
+                    [np.asarray(c["bias"], np.float32) for c in parts],
+                    axis=-1),
+            }}
+        return out
+
+    return {"params": walk(folded["params"])}
+
+
+def optimize_for_inference(
+    cfg: StepConfig, variables, fuse_inception: bool = True
+) -> Tuple[StepConfig, Dict[str, Any]]:
+    """Standard (cfg, variables) → inference-optimized (cfg', variables').
+
+    The returned config builds the BN-free (and optionally
+    fused-Inception) model; the returned variables are the matching folded
+    tree. Run the pair through any inference entry point (detect_clip,
+    make_detect_fn, evaluate_*).
+    """
+    if cfg.bn_folded:
+        raise ValueError("variables for a bn_folded config are already folded")
+    out = fold_bn_variables(variables)
+    if fuse_inception:
+        out = fuse_inception_variables(out)
+    cfg_opt = cfg.replace(bn_folded=True, fused_inception=fuse_inception,
+                          fused_bn_relu=False)
+    return cfg_opt, out

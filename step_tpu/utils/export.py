@@ -34,8 +34,12 @@ def _detect_arg_specs(cfg: StepConfig, batch_size: int):
     T = cfg.total_frames
     S = cfg.image_size
     P = cfg.max_proposals
+    # Primary-input channel count follows the stream: RGB detectors take
+    # 3-channel frames, flow-stream detectors (late-fusion protocol) take
+    # 2-channel [-1,1] flow.
+    C_in = 3 if cfg.input_stream == "rgb" else 2
     return (
-        jax.ShapeDtypeStruct((batch_size, T, S, S, 3), jnp.float32),
+        jax.ShapeDtypeStruct((batch_size, T, S, S, C_in), jnp.float32),
         jax.ShapeDtypeStruct((batch_size, P, T, 4), jnp.float32),
         jax.ShapeDtypeStruct((batch_size, P), jnp.float32),
     )
@@ -58,6 +62,19 @@ def export_detect_fn(
     """
     from step_tpu.inference import detect_clip
 
+    if cfg.two_stream:
+        raise ValueError(
+            "export_detect_fn supports single-stream detectors only "
+            "(input_stream='rgb' or 'flow'); two_stream=True programs take "
+            "a second flow input — export each stream separately and fuse "
+            "scores at serving time (detect_clip_late_fusion protocol)."
+        )
+    # Portability: Pallas kernels lower to backend-specific custom calls
+    # (Mosaic on TPU) and their `interpret` mode is chosen at trace time
+    # from the EXPORT host's backend — either way the artifact would not be
+    # portable across platforms. Force the pure-XLA lowerings.
+    cfg = cfg.replace(nms_impl="scan",
+                      roi_impl="kron" if cfg.roi_impl == "pallas" else cfg.roi_impl)
     model = model or STEPDetector(cfg)
     rgb_s, prop_s, mask_s = _detect_arg_specs(cfg, batch_size)
     if variables is None:
@@ -65,7 +82,7 @@ def export_detect_fn(
             model.init, jax.random.PRNGKey(0),
             jax.ShapeDtypeStruct((1,) + rgb_s.shape[1:], rgb_s.dtype),
             jax.ShapeDtypeStruct((1,) + prop_s.shape[1:], prop_s.dtype),
-            jax.ShapeDtypeStruct((1,) + mask_s.shape[1:], mask_s.dtype),
+            None,  # flow — only two_stream models (rejected above) take one
         )
     var_specs = jax.tree.map(
         lambda v: jax.ShapeDtypeStruct(v.shape, v.dtype), variables

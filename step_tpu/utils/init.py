@@ -27,8 +27,11 @@ def init_detector_cpu(
     model = model or STEPDetector(cfg)
     cpu = jax.local_devices(backend="cpu")[0]
     B, T = 1, cfg.total_frames
+    # a flow-stream detector (late-fusion protocol) takes 2-channel flow
+    # as its PRIMARY input — init must match or restored params mismatch
+    in_ch = 3 if cfg.input_stream == "rgb" else 2
     with jax.default_device(cpu):
-        rgb = jnp.zeros((B, T, cfg.image_size, cfg.image_size, 3), jnp.float32)
+        rgb = jnp.zeros((B, T, cfg.image_size, cfg.image_size, in_ch), jnp.float32)
         flow = (
             jnp.zeros((B, T, cfg.image_size, cfg.image_size, 2), jnp.float32)
             if cfg.two_stream

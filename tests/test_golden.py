@@ -25,6 +25,10 @@ CFG = StepConfig(
     temporal_extension=True, image_size=32, backbone_depth="tiny",
     feature_stride=8, pooled_size=4, max_proposals=12, max_detections=4,
     compute_dtype="float32", batch_size=1,
+    # goldens pin the padded slots' head outputs too — keep the
+    # pre-compaction program (head_compact parity is tested separately
+    # in tests/test_optimize.py)
+    head_compact=False,
 )
 SYN = SyntheticConfig(image_size=32, num_frames=CFG.total_frames,
                       num_classes=4, max_boxes=2)
