@@ -71,9 +71,10 @@ def main():
     clips = resized.reshape(L, T, S, S, 3).astype(np.float32)  # [0,1]; model normalizes on device
 
     out = detect_video(variables, jnp.asarray(clips), cfg, model)
-    tubes = np.asarray(out["tubes"])          # [L, P, T, 4]
-    paths = np.asarray(out["link_paths"])     # [C, L]
-    tube_scores = np.asarray(out["tube_scores"])  # [L, P, C]
+    tubes = np.asarray(out["tubes"])              # [L, P, T, 4]
+    paths = np.asarray(out["link_paths"])         # [C, K, L]
+    trim = np.asarray(out["link_trim"])           # [C, K, L]
+    tube_scores = np.asarray(out["link_tube_scores"])  # [C, K]
 
     sx, sy = W / S, H / S
     annotated = []
@@ -82,13 +83,14 @@ def main():
         l, t = fi // T, fi % T
         boxes, labels, scores = [], [], []
         for c in range(paths.shape[0]):
-            p = paths[c, l]
-            s = tube_scores[l, p, c]
-            if s >= cfg.score_thresh:
-                b = tubes[l, p, t] * np.asarray([sx, sy, sx, sy])
-                boxes.append(b)
-                labels.append(c)
-                scores.append(float(s))
+            for k in range(paths.shape[1]):
+                s = tube_scores[c, k]
+                if s >= cfg.score_thresh and trim[c, k, l] > 0:
+                    p = paths[c, k, l]
+                    b = tubes[l, p, t] * np.asarray([sx, sy, sx, sy])
+                    boxes.append(b)
+                    labels.append(c)
+                    scores.append(float(s))
         annotated.append(
             draw_detections(frames[fi], np.asarray(boxes).reshape(-1, 4),
                             labels, scores, class_names=names)

@@ -147,6 +147,12 @@ class StepConfig:
     nms_thresh: float = 0.5
     max_detections: int = 32            # static cap on per-frame per-class survivors
     link_iou_weight: float = 1.0        # cross-clip linking: score + w * IoU
+    # On-device multi-tube linking (tubes/linking.py::link_tubes_k):
+    # K node-disjoint Viterbi paths per class per video …
+    link_tubes_per_class: int = 4
+    # … each trimmed to its maximal-sum run of per-clip scores above this
+    # threshold (temporal tube termination — tubes need not span the video).
+    link_trim_thresh: float = 0.05
     # NMS lowering. "pallas" (default): one-kernel batched greedy NMS
     # (ops/nms_pallas.py) — profiling showed the lax.scan version costs
     # ~20 ms/batch at B=64 (16 sequential iterations of tiny kernels over

@@ -135,6 +135,119 @@ def collect_detections(
     return detections
 
 
+def collect_video_tubes(
+    variables,
+    dataset,
+    cfg: StepConfig,
+    model: Optional[STEPDetector] = None,
+    max_videos: Optional[int] = None,
+    image_scale_to_gt: bool = True,
+    clip_batch: int = 16,
+    min_length: int = 2,
+):
+    """Per-video ON-DEVICE K-tube linking → [(video, cls, score, {frame: box})].
+
+    The device analog of `link_frame_detections` (BASELINE north star:
+    cross-clip tube linking on device): per video, detect all clips, then
+    run the iterative node-disjoint Viterbi + temporal trim
+    (`tubes/linking.py::link_tubes_multiclass_k`) inside one jitted program.
+    Videos are length-bucketed to powers of two (padding = repeat of the
+    last clip, masked by `clip_mask`) so a handful of program shapes covers
+    a whole dataset.
+
+    Each clip contributes the frames of its OWN sliding window (the central
+    chunk) to the assembled tube — consecutive dataset samples stride by
+    exactly one chunk, so owned frames tile the video without overlap.
+    """
+    import functools
+
+    from step_tpu.inference import make_detect_fn
+    from step_tpu.tubes.linking import link_tubes_multiclass_k
+
+    model = model or STEPDetector(cfg)
+    detect = make_detect_fn(cfg, model)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def link_fn(tubes, scores, prop_mask, clip_mask):
+        return link_tubes_multiclass_k(
+            tubes, scores, prop_mask, cfg.link_iou_weight,
+            cfg.link_tubes_per_class, cfg.link_trim_thresh, clip_mask,
+        )
+
+    by_video: dict = {}
+    for i, (v, _center) in enumerate(dataset.samples):
+        by_video.setdefault(v, []).append(i)
+
+    T, fpc = cfg.total_frames, cfg.frames_per_chunk
+    tc0 = (T - fpc) // 2                       # central-chunk start position
+    out = []
+    for vi, (video, idxs) in enumerate(by_video.items()):
+        if max_videos is not None and vi >= max_videos:
+            break
+        L = len(idxs)
+        clips, frame_ids = [], []
+        for i in idxs:
+            item = dataset[i]
+            clips.append(item["rgb"])
+            frame_ids.append(np.asarray(item["frame_indices"]))
+        # detect in fixed-size clip batches (pad by repeating the last clip)
+        tubes_np, scores_np = [], []
+        for s in range(0, L, clip_batch):
+            chunk = clips[s : s + clip_batch]
+            pad = clip_batch - len(chunk)
+            batch = np.stack(chunk + [chunk[-1]] * pad)
+            props, pmask = STEPDetector.initial_proposals(cfg, clip_batch)
+            det = detect(variables, jnp.asarray(batch), props, pmask)
+            n = len(chunk)
+            tubes_np.append(np.asarray(det["tubes"])[:n])
+            scores_np.append(np.asarray(det["tube_scores"])[:n])
+        tubes = np.concatenate(tubes_np, axis=0)      # [L, P, T, 4]
+        scores = np.concatenate(scores_np, axis=0)    # [L, P, C]
+
+        # bucket the clip axis to the next power of two
+        Lb = 1
+        while Lb < L:
+            Lb *= 2
+        if Lb > L:
+            tubes = np.concatenate(
+                [tubes, np.repeat(tubes[-1:], Lb - L, axis=0)], axis=0)
+            scores = np.concatenate(
+                [scores, np.repeat(scores[-1:], Lb - L, axis=0)], axis=0)
+        clip_mask = np.zeros((Lb,), np.float32)
+        clip_mask[:L] = 1.0
+        _, pmask1 = STEPDetector.initial_proposals(cfg, 1)
+        prop_mask = jnp.broadcast_to(pmask1[0][None], (Lb, pmask1.shape[1]))
+        link = link_fn(jnp.asarray(tubes), jnp.asarray(scores), prop_mask,
+                       jnp.asarray(clip_mask))
+        paths = np.asarray(link["paths"])             # [C, K, Lb]
+        trim = np.asarray(link["trim"])               # [C, K, Lb]
+        tube_scores = np.asarray(link["tube_scores"])  # [C, K]
+
+        sx = sy = 1.0
+        if image_scale_to_gt and hasattr(dataset, "resolution"):
+            H, W = dataset.resolution.get(video, (cfg.image_size, cfg.image_size))
+            sx, sy = W / cfg.image_size, H / cfg.image_size
+        scale = np.asarray([sx, sy, sx, sy], np.float32)
+
+        C, K = tube_scores.shape
+        for c in range(C):
+            for k in range(K):
+                if tube_scores[c, k] < cfg.score_thresh:
+                    continue
+                frames = {}
+                for l in range(L):
+                    if trim[c, k, l] <= 0:
+                        continue
+                    p = paths[c, k, l]
+                    for t in range(tc0, tc0 + fpc):
+                        f = int(frame_ids[l][t]) + 1   # 1-based like GT
+                        if f not in frames:
+                            frames[f] = tubes[l, p, t] * scale
+                if len(frames) >= min_length:
+                    out.append((video, c, float(tube_scores[c, k]), frames))
+    return out
+
+
 def dedupe_frame_detections(detections):
     """Sliding clips revisit frames; keep each (key, cls, box-ish) once by
     max score. The reference dedupes by writing per-frame dicts the same way."""
@@ -259,6 +372,7 @@ def evaluate_ucf(
     fit_calibration_path: Optional[str] = None,
     mesh=None,
     variables_flow=None,
+    device_linking: bool = False,
 ):
     """UCF101-24-style eval: frame-mAP@0.5 + video-mAP over linked tubes.
 
@@ -267,6 +381,12 @@ def evaluate_ucf(
     `fit_calibration_path`: fit per-class Platt parameters on THIS run's
     detections vs GT and save them as .npz (do this on a validation split,
     then pass the file as `calibration` for test runs).
+    `device_linking`: assemble video tubes with the ON-DEVICE K-tube Viterbi
+    linker (`collect_video_tubes`) instead of the host greedy pass — the
+    BASELINE "cross-clip tube linking on device" path. Frame-mAP still
+    reads the per-frame NMS surface, so this runs detection once per
+    surface (twice total); parity with the host linker is tested in
+    tests/test_eval.py.
     """
     detections = dedupe_frame_detections(
         collect_detections(variables, dataset, cfg, model,
@@ -292,7 +412,14 @@ def evaluate_ucf(
 
     results = {"frame_mAP@0.5": frame_map(detections, frame_gt, cfg.num_classes, 0.5)["mAP"]}
 
-    pred_tubes = tube_nms(link_frame_detections(detections), cfg.tube_nms_thresh)
+    if device_linking:
+        max_videos = None if max_batches is None else max_batches
+        pred_tubes = collect_video_tubes(variables, dataset, cfg, model,
+                                         max_videos=max_videos)
+        pred_tubes = tube_nms(pred_tubes, cfg.tube_nms_thresh)
+    else:
+        pred_tubes = tube_nms(link_frame_detections(detections),
+                              cfg.tube_nms_thresh)
     for thresh in (0.2, 0.5):
         results[f"video_mAP@{thresh}"] = video_map(
             pred_tubes, tube_gt, cfg.num_classes, thresh

@@ -20,7 +20,7 @@ import numpy as np
 from step_tpu.config import StepConfig
 from step_tpu.models.detector import STEPDetector
 from step_tpu.ops.nms import batched_nms
-from step_tpu.tubes.linking import link_tubes_multiclass
+from step_tpu.tubes.linking import link_tubes_multiclass_k
 
 
 def class_scores_from_logits(cls_logits: jnp.ndarray, cfg: StepConfig) -> jnp.ndarray:
@@ -453,23 +453,34 @@ def detect_video(
     cfg: StepConfig,
     model: Optional[STEPDetector] = None,
     flow: Optional[jnp.ndarray] = None,
+    clip_mask: Optional[jnp.ndarray] = None,   # [L] — 0 marks padded clips
 ):
     """Streaming inference (BASELINE config 4): detect every clip (batched),
-    then link per-clip tubes into video tubes on device.
+    then link per-clip tubes into K video tubes per class on device
+    (iterative node-disjoint Viterbi + temporal trim — tubes/linking.py).
 
-    Returns dict with per-clip detections plus:
-      link_paths  [C, L] int32 — chosen tube index per clip per class
-      link_scores [C]          — path score (higher = stronger video tube)
+    `clip_mask` supports length-bucketed videos: padded clip slots (repeat
+    of the last real clip) contribute nothing to the link values and are
+    always trimmed out of the active runs.
+
+    Returns dict with per-clip detections plus (K = cfg.link_tubes_per_class):
+      link_paths       [C, K, L] int32 — tube index per clip
+      link_scores      [C, K]          — Viterbi path value (k-ranking)
+      link_trim        [C, K, L]       — 1 where the video tube is active
+      link_tube_scores [C, K]          — mean per-clip score over the run
     """
     model = model or STEPDetector(cfg)
     L = clips.shape[0]
     proposals, prop_mask = STEPDetector.initial_proposals(cfg, L)
     det = detect_clip(variables, clips, proposals, prop_mask, cfg, model, flow)
-    paths, values = link_tubes_multiclass(
-        det["tubes"], det["tube_scores"], prop_mask, cfg.link_iou_weight
+    link = link_tubes_multiclass_k(
+        det["tubes"], det["tube_scores"], prop_mask, cfg.link_iou_weight,
+        cfg.link_tubes_per_class, cfg.link_trim_thresh, clip_mask,
     )
-    det["link_paths"] = paths
-    det["link_scores"] = values
+    det["link_paths"] = link["paths"]
+    det["link_scores"] = link["values"]
+    det["link_trim"] = link["trim"]
+    det["link_tube_scores"] = link["tube_scores"]
     return det
 
 
@@ -477,7 +488,7 @@ def make_detect_video_fn(cfg: StepConfig, model: Optional[STEPDetector] = None):
     model = model or STEPDetector(cfg)
 
     @jax.jit
-    def _detect(variables, clips, flow=None):
-        return detect_video(variables, clips, cfg, model, flow)
+    def _detect(variables, clips, flow=None, clip_mask=None):
+        return detect_video(variables, clips, cfg, model, flow, clip_mask)
 
     return _detect

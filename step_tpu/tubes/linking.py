@@ -9,6 +9,15 @@ a fixed per-clip tube capacity P).
 
 Edge weight between tube i of clip t and tube j of clip t+1:
     w = score_j + link_iou_weight * IoU(last_box_i, first_box_j)
+
+Production form (`link_tubes_k` / `link_tubes_multiclass_k`): K paths per
+class by ITERATIVE Viterbi — extract the best path, suppress its (clip,
+tube) nodes, repeat (static trip count K) — plus temporal termination:
+each path is trimmed to its maximum-sum run of per-clip scores above
+`trim_thresh` (Kadane over the clip axis), so tubes can start and end
+mid-video instead of being forced to span it. Padded clip slots
+(`clip_mask`) contribute zero score and zero transition weight, which
+keeps bucketed-length videos exact.
 """
 
 from __future__ import annotations
@@ -21,33 +30,17 @@ from step_tpu.tubes.boxes import pairwise_iou
 NEG = -1e9
 
 
-def link_tubes(
-    tubes: jnp.ndarray,
-    scores: jnp.ndarray,
-    valid: jnp.ndarray | None = None,
-    link_iou_weight: float = 1.0,
-):
-    """Link per-clip tubes into video tubes by per-class Viterbi.
+def _transition_iou(tubes: jnp.ndarray) -> jnp.ndarray:
+    """[L, P, T, 4] → [L-1, P, P] IoU(last box of clip t, first box of t+1)."""
+    last_boxes = tubes[:, :, -1, :]
+    first_boxes = tubes[:, :, 0, :]
+    return jax.vmap(pairwise_iou)(last_boxes[:-1], first_boxes[1:])
 
-    Args:
-      tubes:  [L, P, T, 4] — per-clip candidate tubes (L clips, P per clip).
-      scores: [L, P] — per-tube class score (run once per class).
-      valid:  [L, P] — optional validity mask for padded tube slots.
-      link_iou_weight: weight of temporal-overlap IoU in the edge score.
 
-    Returns:
-      path:   [L] int32 — chosen tube index per clip (the best video tube).
-      value:  scalar — total path score (sum of chosen scores + weighted IoUs).
-    """
-    L, P = scores.shape
-    if valid is None:
-        valid = jnp.ones((L, P), scores.dtype)
-    masked_scores = jnp.where(valid > 0, scores, NEG)
-
-    last_boxes = tubes[:, :, -1, :]   # [L, P, 4]
-    first_boxes = tubes[:, :, 0, :]   # [L, P, 4]
-    # Transition IoU between consecutive clips: [L-1, P, P]
-    trans = jax.vmap(pairwise_iou)(last_boxes[:-1], first_boxes[1:])
+def _viterbi(masked_scores: jnp.ndarray, trans: jnp.ndarray,
+             link_iou_weight: float):
+    """Best single path through [L, P] node scores with [L-1, P, P]
+    transition weights. Returns (path [L] int32, value)."""
 
     def step(carry, inp):
         prev_val = carry                       # [P] best value ending at each tube
@@ -74,8 +67,120 @@ def link_tubes(
     return path.astype(jnp.int32), value
 
 
+def link_tubes(
+    tubes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray | None = None,
+    link_iou_weight: float = 1.0,
+):
+    """Link per-clip tubes into ONE video tube by Viterbi (the k=1 core).
+
+    Args:
+      tubes:  [L, P, T, 4] — per-clip candidate tubes (L clips, P per clip).
+      scores: [L, P] — per-tube class score (run once per class).
+      valid:  [L, P] — optional validity mask for padded tube slots.
+      link_iou_weight: weight of temporal-overlap IoU in the edge score.
+
+    Returns:
+      path:   [L] int32 — chosen tube index per clip (the best video tube).
+      value:  scalar — total path score (sum of chosen scores + weighted IoUs).
+    """
+    L, P = scores.shape
+    if valid is None:
+        valid = jnp.ones((L, P), scores.dtype)
+    masked_scores = jnp.where(valid > 0, scores, NEG)
+    trans = _transition_iou(tubes)
+    return _viterbi(masked_scores, trans, link_iou_weight)
+
+
+def max_subarray_mask(x: jnp.ndarray):
+    """Kadane over [L]: the contiguous run with maximal sum.
+
+    Returns (mask [L] float — 1 inside the best run, value — the run's sum).
+    With all-negative input the run is the single largest element.
+    """
+    L = x.shape[0]
+
+    def fwd(carry, inp):
+        t, xt = inp
+        cur, cur_start, best, best_start, best_end = carry
+        ext = cur + xt
+        restart = ext < xt
+        cur2 = jnp.where(restart, xt, ext)
+        start2 = jnp.where(restart, t, cur_start)
+        better = cur2 > best
+        return (
+            cur2, start2,
+            jnp.where(better, cur2, best),
+            jnp.where(better, start2, best_start),
+            jnp.where(better, t, best_end),
+        ), None
+
+    init = (jnp.float32(NEG), jnp.int32(0),
+            jnp.float32(NEG), jnp.int32(0), jnp.int32(0))
+    (_, _, best, bs, be), _ = jax.lax.scan(
+        fwd, init, (jnp.arange(L), x.astype(jnp.float32)))
+    idx = jnp.arange(L)
+    return ((idx >= bs) & (idx <= be)).astype(jnp.float32), best
+
+
+def link_tubes_k(
+    tubes: jnp.ndarray,          # [L, P, T, 4]
+    scores: jnp.ndarray,         # [L, P]
+    valid: jnp.ndarray | None = None,
+    link_iou_weight: float = 1.0,
+    k: int = 4,
+    trim_thresh: float = 0.05,
+    clip_mask: jnp.ndarray | None = None,   # [L] — 0 for padded clip slots
+):
+    """K video tubes per class by iterative Viterbi with node suppression.
+
+    After each extraction the used (clip, tube) nodes are invalidated, so
+    the K paths are node-disjoint (the multi-instance behavior of the
+    reference's host linker: each detection joins one tube).
+
+    Temporal termination: each path's per-clip score sequence minus
+    `trim_thresh` is trimmed to its maximal-sum contiguous run, so a tube
+    occupies only the clips where its evidence exceeds the threshold.
+
+    Returns dict:
+      paths  [K, L] int32 — tube index per clip
+      values [K]          — Viterbi path value (ranking across k)
+      trim   [K, L] float — 1 where the tube is active
+      tube_scores [K]     — mean per-clip score over the active run
+    """
+    L, P = scores.shape
+    if valid is None:
+        valid = jnp.ones((L, P), scores.dtype)
+    if clip_mask is None:
+        clip_mask = jnp.ones((L,), scores.dtype)
+    # padded clips: neutral node score, zero transition weight
+    scores = scores * clip_mask[:, None]
+    trans = _transition_iou(tubes) * jnp.minimum(
+        clip_mask[:-1], clip_mask[1:])[:, None, None]
+
+    def one(valid_carry, _):
+        masked = jnp.where(valid_carry > 0, scores, NEG)
+        masked = jnp.where(clip_mask[:, None] > 0, masked, 0.0)
+        path, value = _viterbi(masked, trans, link_iou_weight)
+        new_valid = valid_carry.at[jnp.arange(L), path].set(0.0)
+        chosen = jnp.take_along_axis(scores, path[:, None], axis=1)[:, 0]
+        return new_valid, (path, value, chosen)
+
+    _, (paths, values, chosen) = jax.lax.scan(one, valid, None, length=k)
+
+    # Temporal trim: padded clips always fall below threshold.
+    trim_in = jnp.where(clip_mask[None, :] > 0,
+                        chosen - trim_thresh, -2.0 * abs(trim_thresh) - 1e-3)
+    trim, _ = jax.vmap(max_subarray_mask)(trim_in)
+    n_active = jnp.maximum(jnp.sum(trim, axis=1), 1.0)
+    tube_scores = jnp.sum(chosen * trim, axis=1) / n_active
+    return {"paths": paths, "values": values, "trim": trim,
+            "tube_scores": tube_scores}
+
+
 def link_tubes_multiclass(tubes, class_scores, valid=None, link_iou_weight: float = 1.0):
-    """Vectorize `link_tubes` over a class axis.
+    """Vectorize `link_tubes` over a class axis (single best path per class).
 
     Args:
       tubes: [L, P, T, 4]; class_scores: [L, P, C]; valid: [L, P] or None.
@@ -85,3 +190,24 @@ def link_tubes_multiclass(tubes, class_scores, valid=None, link_iou_weight: floa
     scores_cf = jnp.moveaxis(class_scores, -1, 0)  # [C, L, P]
     v = valid if valid is not None else jnp.ones(class_scores.shape[:2], class_scores.dtype)
     return jax.vmap(lambda s: link_tubes(tubes, s, v, link_iou_weight))(scores_cf)
+
+
+def link_tubes_multiclass_k(
+    tubes, class_scores, valid=None, link_iou_weight: float = 1.0,
+    k: int = 4, trim_thresh: float = 0.05, clip_mask=None,
+):
+    """Vectorize `link_tubes_k` over a class axis.
+
+    Args:
+      tubes: [L, P, T, 4]; class_scores: [L, P, C]; valid: [L, P] or None;
+      clip_mask: [L] or None.
+    Returns dict with leading class axis:
+      paths [C, K, L], values [C, K], trim [C, K, L], tube_scores [C, K].
+    """
+    scores_cf = jnp.moveaxis(class_scores, -1, 0)  # [C, L, P]
+    v = valid if valid is not None else jnp.ones(
+        class_scores.shape[:2], class_scores.dtype)
+    return jax.vmap(
+        lambda s: link_tubes_k(tubes, s, v, link_iou_weight, k,
+                               trim_thresh, clip_mask)
+    )(scores_cf)

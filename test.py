@@ -37,6 +37,10 @@ def parse_args():
     p.add_argument("--flow-ckpt-dir", default=None,
                    help="second (flow-stream) checkpoint — enables the "
                         "reference late-fusion protocol (UCF only)")
+    p.add_argument("--device-linking", action="store_true",
+                   help="assemble video tubes with the on-device K-tube "
+                        "Viterbi linker instead of the host greedy pass "
+                        "(UCF only)")
     from step_tpu.utils.cli import add_common_args
 
     add_common_args(p)
@@ -116,7 +120,8 @@ def main():
                                dump_path=args.dump, max_batches=args.max_batches,
                                calibration=args.calibration,
                                fit_calibration_path=args.fit_calibration,
-                               mesh=mesh, variables_flow=variables_flow)
+                               mesh=mesh, variables_flow=variables_flow,
+                               device_linking=args.device_linking)
     for k, v in results.items():
         print(f"{k}: {v:.4f}")
 

@@ -396,3 +396,31 @@ def test_evaluate_ava_rejects_two_stream():
     cfg = CFG.replace(dataset="ava", two_stream=True, multilabel=True)
     with pytest.raises(ValueError, match="RGB-only"):
         evaluate_ava({}, None, cfg)
+
+
+def test_evaluate_ucf_device_linking(trained_ucf):
+    """The on-device K-tube linker drives video-mAP end-to-end through
+    evaluate_ucf (BASELINE north star: cross-clip linking on device)."""
+    from step_tpu.data.ucf import UCFDataset
+    from step_tpu.evaluate import collect_video_tubes, evaluate_ucf
+
+    cfg = CFG.replace(dataset="ucf101_24", score_thresh=0.0,
+                      link_tubes_per_class=2)
+    model = STEPDetector(cfg)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), model)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    ds = UCFDataset(trained_ucf, cfg, split="test")
+
+    tubes = collect_video_tubes(variables, ds, cfg, model, clip_batch=4)
+    assert isinstance(tubes, list)
+    for video, c, score, frames in tubes:
+        assert video == "Run/v1" and 0 <= c < cfg.num_classes
+        assert np.isfinite(score)
+        assert all(isinstance(f, int) and f >= 1 for f in frames)
+        # owned central-chunk frames tile the video without duplicates
+        assert len(frames) >= 2
+
+    results = evaluate_ucf(variables, ds, cfg, model, device_linking=True)
+    for k in ("frame_mAP@0.5", "video_mAP@0.2", "video_mAP@0.5"):
+        assert k in results
+        assert (0.0 <= results[k] <= 1.0) or np.isnan(results[k])

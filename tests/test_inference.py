@@ -84,11 +84,17 @@ def test_detect_video_linking(det):
     L, T = 3, CFG.total_frames
     clips = jnp.asarray(np.random.RandomState(1).rand(L, T, 32, 32, 3), jnp.float32)
     out = detect_video(variables, clips, CFG, model)
-    C = CFG.num_classes
-    assert out["link_paths"].shape == (C, L)
-    assert out["link_scores"].shape == (C,)
+    C, K = CFG.num_classes, CFG.link_tubes_per_class
+    assert out["link_paths"].shape == (C, K, L)
+    assert out["link_scores"].shape == (C, K)
+    assert out["link_trim"].shape == (C, K, L)
+    assert out["link_tube_scores"].shape == (C, K)
     paths = np.asarray(out["link_paths"])
     assert (paths >= 0).all() and (paths < CFG.max_proposals).all()
+    # K paths of one class are node-disjoint per clip
+    for c in range(C):
+        for l in range(L):
+            assert len(set(paths[c, :, l])) == K
 
 
 def test_checkpoint_roundtrip(tmp_path):
@@ -125,4 +131,5 @@ def test_make_detect_fns_jit_wrappers(det):
     clips = jnp.asarray(np.random.RandomState(6).rand(2, T, 32, 32, 3), jnp.float32)
     detect_v = make_detect_video_fn(CFG, model)
     out_v = detect_v(variables, clips)
-    assert out_v["link_paths"].shape == (CFG.num_classes, 2)
+    assert out_v["link_paths"].shape == (
+        CFG.num_classes, CFG.link_tubes_per_class, 2)

@@ -158,3 +158,149 @@ def test_nms_surface_pallas_matches_scan():
     b = nms_surface(tubes, scores, mask, cfg.replace(nms_impl="pallas"))
     for k in ("frame_boxes", "frame_scores", "frame_mask"):
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+# ---------------------------------------------------------------- K-tube linking
+
+import pytest
+
+
+def test_max_subarray_mask():
+    from step_tpu.tubes.linking import max_subarray_mask
+
+    mask, val = max_subarray_mask(jnp.asarray([-1.0, 2.0, 3.0, -1.0, 1.0, -5.0]))
+    np.testing.assert_array_equal(np.asarray(mask), [0, 1, 1, 0, 0, 0])
+    assert float(val) == pytest.approx(5.0)
+    # all-negative: single largest element
+    mask, val = max_subarray_mask(jnp.asarray([-3.0, -0.5, -2.0]))
+    np.testing.assert_array_equal(np.asarray(mask), [0, 1, 0])
+    assert float(val) == pytest.approx(-0.5)
+
+
+def test_link_tubes_k_two_actors_with_termination():
+    """Two same-class actors: actor A spans all clips, actor B exists only
+    mid-video. k=2 must recover both, with B's tube trimmed to its run."""
+    from step_tpu.tubes.linking import link_tubes_k
+
+    L, P, T = 8, 5, 4
+    rng = np.random.RandomState(0)
+    tubes = rng.rand(L, P, T, 4).astype(np.float32) * 20
+    tubes[..., 2:] += tubes[..., :2] + 60  # scattered background boxes
+    scores = np.full((L, P), 0.01, np.float32)
+    for l in range(L):
+        # actor A: slot 0, moves right, always present
+        tubes[l, 0] = _tube([10 + 5 * l, 10, 30 + 5 * l, 30], T)
+        scores[l, 0] = 0.9
+        # actor B: slot 1, moves down, present clips 2..4 only
+        tubes[l, 1] = _tube([60, 10 + 5 * l, 80, 30 + 5 * l], T)
+        scores[l, 1] = 0.8 if 2 <= l <= 4 else 0.02
+    out = link_tubes_k(jnp.asarray(tubes), jnp.asarray(scores),
+                       link_iou_weight=0.5, k=2, trim_thresh=0.1)
+    paths = np.asarray(out["paths"])          # [2, L]
+    trim = np.asarray(out["trim"])
+    np.testing.assert_array_equal(paths[0], np.zeros(L))
+    np.testing.assert_array_equal(trim[0], np.ones(L))
+    np.testing.assert_array_equal(paths[1][2:5], [1, 1, 1])
+    np.testing.assert_array_equal(trim[1], [0, 0, 1, 1, 1, 0, 0, 0])
+    assert float(out["tube_scores"][0]) == pytest.approx(0.9, abs=1e-5)
+    assert float(out["tube_scores"][1]) == pytest.approx(0.8, abs=1e-5)
+
+
+def test_link_tubes_k_node_disjoint():
+    from step_tpu.tubes.linking import link_tubes_k
+
+    L, P = 4, 6
+    rng = np.random.RandomState(3)
+    tubes = rng.rand(L, P, 2, 4).astype(np.float32) * 50
+    tubes[..., 2:] += tubes[..., :2] + 5
+    scores = rng.rand(L, P).astype(np.float32)
+    out = link_tubes_k(jnp.asarray(tubes), jnp.asarray(scores), k=3)
+    paths = np.asarray(out["paths"])
+    for l in range(L):
+        assert len(set(paths[:, l])) == 3
+
+
+def test_link_tubes_k_clip_mask_padding_invariance():
+    """Length-bucketed padding (repeat last clip + clip_mask) must not
+    change the paths or trims on the real prefix."""
+    from step_tpu.tubes.linking import link_tubes_k
+
+    L, P, T = 5, 4, 3
+    rng = np.random.RandomState(4)
+    tubes = rng.rand(L, P, T, 4).astype(np.float32) * 40
+    tubes[..., 2:] += tubes[..., :2] + 10
+    scores = rng.rand(L, P).astype(np.float32)
+
+    ref = link_tubes_k(jnp.asarray(tubes), jnp.asarray(scores), k=2,
+                       trim_thresh=0.1)
+    Lb = 8
+    tubes_p = np.concatenate([tubes, np.repeat(tubes[-1:], Lb - L, 0)])
+    scores_p = np.concatenate([scores, np.repeat(scores[-1:], Lb - L, 0)])
+    cmask = np.zeros(Lb, np.float32)
+    cmask[:L] = 1
+    out = link_tubes_k(jnp.asarray(tubes_p), jnp.asarray(scores_p), k=2,
+                       trim_thresh=0.1, clip_mask=jnp.asarray(cmask))
+    np.testing.assert_array_equal(np.asarray(out["trim"])[:, :L],
+                                  np.asarray(ref["trim"]))
+    # paths must agree wherever the tube is active
+    for k in range(2):
+        act = np.asarray(ref["trim"])[k] > 0
+        np.testing.assert_array_equal(np.asarray(out["paths"])[k, :L][act],
+                                      np.asarray(ref["paths"])[k][act])
+    # padded clips always trimmed out
+    assert np.asarray(out["trim"])[:, L:].sum() == 0
+
+
+def test_link_tubes_k_matches_host_linker_video_map():
+    """Device K-tube linking and the host greedy linker reach the same
+    video-mAP on a clean two-actor synthetic video (VERDICT r2 item 3)."""
+    from step_tpu.evaluate import link_frame_detections
+    from step_tpu.eval.detection_metrics import video_map
+    from step_tpu.tubes.linking import link_tubes_k
+
+    L, P, T = 6, 5, 4
+    rng = np.random.RandomState(5)
+    tubes = rng.rand(L, P, T, 4).astype(np.float32) * 15
+    tubes[..., 2:] += tubes[..., :2] + 70
+    scores = np.full((L, P), 0.01, np.float32)
+    gt_tubes = []          # evaluator format: (video, cls, {frame: box})
+    for actor, (slot, sc, rng_l) in enumerate(
+            [(0, 0.9, range(L)), (1, 0.8, range(2, 5))]):
+        frames = {}
+        for l in range(L):
+            box = [10 + 6 * l + 40 * actor, 10 + 4 * l, 30 + 6 * l + 40 * actor,
+                   30 + 4 * l]
+            tubes[l, slot] = _tube(box, T)
+            scores[l, slot] = sc if l in rng_l else 0.02
+            if l in rng_l:
+                for t in range(T):
+                    frames[l * T + t + 1] = np.asarray(box, np.float32)
+        gt_tubes.append(("v0", 0, frames))
+
+    # device linking → pred tube format
+    out = link_tubes_k(jnp.asarray(tubes), jnp.asarray(scores),
+                       link_iou_weight=0.5, k=2, trim_thresh=0.1)
+    paths, trim = np.asarray(out["paths"]), np.asarray(out["trim"])
+    dev_tubes = []
+    for k in range(2):
+        frames = {}
+        for l in range(L):
+            if trim[k, l] > 0:
+                for t in range(T):
+                    frames[l * T + t + 1] = tubes[l, paths[k, l], t]
+        dev_tubes.append(("v0", 0, float(out["tube_scores"][k]), frames))
+
+    # host linking over the equivalent per-frame detections
+    dets = []
+    for l in range(L):
+        for p in range(P):
+            for t in range(T):
+                dets.append((("v0", l * T + t + 1), 0, float(scores[l, p]),
+                             tubes[l, p, t]))
+    dets = [d for d in dets if d[2] >= 0.1]
+    host_tubes = link_frame_detections(dets, link_iou=0.2)
+
+    m_dev = video_map(dev_tubes, gt_tubes, 1, 0.5)["mAP"]
+    m_host = video_map(host_tubes, gt_tubes, 1, 0.5)["mAP"]
+    assert m_dev == pytest.approx(1.0, abs=1e-6)
+    assert m_dev == pytest.approx(m_host, abs=1e-6)
