@@ -1,0 +1,169 @@
+"""Training benchmark: clips/sec/chip for the full train step (fwd + bwd +
+optimizer), plus the production fit() loop with its double-buffered input
+pipeline.
+
+Prints ONE JSON line, e.g.:
+  {"metric": "train_clips_per_sec_per_chip", "value": N, "unit": "clips/s",
+   "step_ms": N, "mfu": N, "fit_clips_per_sec": N, ...}
+
+Methodology (CLAUDE.md): the relay transport memoizes identical dispatches
+and acks uploads early, so (a) every timed step consumes a DISTINCT
+pre-uploaded batch, (b) steps chain through the donated train state, (c)
+one scalar readback closes the chain. The `fit_clips_per_sec` field runs
+the real fit() loop (loader threads + double-buffered device_put) over an
+in-memory synthetic dataset and reports its flush-windowed average — the
+number users see in training logs.
+"""
+
+import json
+import os
+import tempfile
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from step_tpu.config import PRESETS
+from step_tpu.models.detector import STEPDetector
+from step_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
+PEAK_BF16_FLOPS = 197e12
+BATCH = 16
+ITERS = 10
+FIT_STEPS = 16
+
+
+def make_batches(cfg, n, seed=0):
+    from step_tpu.data.pipeline import build_model_batch
+    from step_tpu.data.synthetic import SyntheticConfig, make_batch
+
+    syn = SyntheticConfig(image_size=cfg.image_size,
+                          num_frames=cfg.total_frames,
+                          num_classes=cfg.num_classes,
+                          max_boxes=cfg.max_gt_tubes)
+    out = []
+    for i in range(n):
+        raw = make_batch(seed + i * cfg.batch_size, cfg.batch_size, syn)
+        out.append(build_model_batch(raw, cfg, train=True, seed=i,
+                                     emit_uint8=cfg.uint8_transfer))
+    return out
+
+
+def main():
+    cfg = PRESETS["ucf_3step"].replace(batch_size=BATCH)
+    from step_tpu.parallel.mesh import create_mesh, replicated_sharding
+    from step_tpu.parallel.distributed import make_global_batch
+    from step_tpu.train.trainer import (create_train_state,
+                                        make_parallel_train_step)
+
+    model = STEPDetector(cfg)
+    mesh = create_mesh((1,), cfg.mesh_axes)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        state = create_train_state(cfg, jax.random.PRNGKey(0), model)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    pstep = make_parallel_train_step(cfg, model, mesh)
+    rng = jax.random.PRNGKey(1)
+
+    # ---- device-chained step throughput over distinct uploaded batches ----
+    host_batches = make_batches(cfg, ITERS + 1)
+    dev_batches = [make_global_batch(
+        {k: v for k, v in b.items() if k != "meta"}, mesh)
+        for b in host_batches]
+    t0 = time.time()
+    state, m = pstep(state, dev_batches[-1], rng)   # compile + settle
+    jax.block_until_ready(m["loss"])
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for i in range(ITERS):
+        state, metrics = pstep(state, dev_batches[i], rng)
+    _ = float(metrics["loss"])                       # closes the chain
+    dt = (time.time() - t0) / ITERS
+    clips_per_sec = cfg.batch_size / dt
+
+    # ---- MFU from XLA cost analysis (scan-body correction, estimate) ----
+    mfu = None
+    try:
+        cost = pstep.lower(state, dev_batches[0], rng).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0 and cfg.num_steps > 1:
+            from step_tpu.models.i3d import I3DTail
+
+            tail = I3DTail(depth=cfg.backbone_depth,
+                           dtype=jnp.dtype(cfg.compute_dtype))
+            Tp = (cfg.total_frames + 3) // 4
+            cdt = jnp.dtype(cfg.compute_dtype)
+            rows = cfg.active_proposals if cfg.head_compact else cfg.max_proposals
+            pooled = jax.ShapeDtypeStruct(
+                (cfg.batch_size * rows, Tp, cfg.pooled_size, cfg.pooled_size,
+                 832), cdt)
+            tvars = jax.eval_shape(
+                tail.init, jax.random.PRNGKey(0),
+                jax.ShapeDtypeStruct((1, Tp, cfg.pooled_size, cfg.pooled_size,
+                                      832), cdt))
+            tc = (jax.jit(tail.apply).lower(tvars, pooled).compile()
+                  .cost_analysis())
+            if isinstance(tc, (list, tuple)):
+                tc = tc[0]
+            # XLA counts each scanned body once; re-add (S-1) extra tail
+            # passes for forward AND backward (bwd ~ 2x fwd conv FLOPs) —
+            # an estimate, so the reported MFU is approximate.
+            flops += (cfg.num_steps - 1) * 3.0 * float(tc.get("flops", 0.0))
+        if flops > 0:
+            mfu = flops / dt / PEAK_BF16_FLOPS
+    except Exception:
+        pass
+
+    # ---- fit() loop throughput (loader + double-buffered upload) ----
+    from step_tpu.data.synthetic import SyntheticConfig, make_clip
+    from step_tpu.data.loader import DataLoader
+    from step_tpu.train.fit import fit
+
+    syn = SyntheticConfig(image_size=cfg.image_size,
+                          num_frames=cfg.total_frames,
+                          num_classes=cfg.num_classes,
+                          max_boxes=cfg.max_gt_tubes)
+    cache = [make_clip(i, syn) for i in range(4 * BATCH)]
+
+    class _Cached:
+        def __len__(self):
+            return len(cache)
+
+        def __getitem__(self, i):
+            return cache[i]
+
+    fit_cfg = cfg.replace(total_steps=FIT_STEPS, warmup_steps=2)
+    loader = DataLoader(_Cached(), fit_cfg, num_workers=2, prefetch=3)
+    with tempfile.TemporaryDirectory() as log_dir:
+        fit(fit_cfg, loader, num_epochs=100, log_dir=log_dir,
+            handle_signals=False)
+        fit_cps = None
+        with open(os.path.join(log_dir, "metrics.jsonl")) as f:
+            for line in f:
+                rec = json.loads(line)
+                if "clips_per_sec" in rec and rec["step"] > FIT_STEPS // 2:
+                    fit_cps = rec["clips_per_sec"]  # last flush window avg
+
+    print(json.dumps({
+        "metric": "train_clips_per_sec_per_chip",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/s",
+        "step_ms": round(dt * 1000, 1),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "fit_clips_per_sec": round(fit_cps, 2) if fit_cps else None,
+        "fit_step_ms": round(1000 * cfg.batch_size / fit_cps, 1) if fit_cps else None,
+        "batch": cfg.batch_size,
+        "compile_s": round(compile_s, 1),
+        "config": "ucf_3step train (3 steps, 18 frames, 224px, I3D, AdamW)",
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

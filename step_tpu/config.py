@@ -102,10 +102,12 @@ class StepConfig:
     # (the first num_proposals + gt_jitter_proposals — initial_cuboids_np /
     # build_model_batch place real proposals there by construction) instead
     # of all max_proposals padded slots; outputs are zero-padded back.
-    # Cuts ~31% of the per-step tail compute at the default 11-of-16
-    # occupancy. Exact for every masked consumer (padding slots are never
-    # supervised and are score-masked at the surface).
-    head_compact: bool = True
+    # Exact for every masked consumer. MEASURED LOSER at the bench shape
+    # (scripts/bench_opts.py, v5e B=128: 300 vs 394 clips/s): the slice +
+    # zero-pad of the ~835 MB pooled tensor costs more than the 31% tail
+    # compute it saves — consistent with round 2's "max_proposals 16 beats
+    # 11" alignment finding. Kept selectable for small-batch/latency use.
+    head_compact: bool = False
     # Route inference BN+ReLU through the Pallas fused kernel
     # (ops/fused_bn_relu.py). MEASURED SLOWER than XLA's own conv-epilogue
     # fusion on the full detect program (v5e B=64: 288 vs 167 ms/batch —
