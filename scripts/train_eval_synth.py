@@ -1,0 +1,159 @@
+"""Synthetic-oracle train → held-out frame-mAP harness.
+
+The measurement tool behind VALIDATION.md's accuracy entries: trains a
+config on fresh synthetic moving-box clips (new seeds every step — no
+memorization) and evaluates held-out frame-mAP@{0.5,0.2}. Used for the
+parity-risk A/Bs (reg_head, chunk_stem, cuboid_layout — VERDICT r2 item 5)
+and the full-scale preset-3/5 synthetic runs (item 7).
+
+Examples (run on the TPU):
+  python scripts/train_eval_synth.py --tag baseline --steps 700
+  python scripts/train_eval_synth.py --tag frame_fc --set reg_head=frame_fc
+  python scripts/train_eval_synth.py --tag ava60 --classes 60 \
+      --set multilabel=True,num_classes=60 --steps 1500
+  python scripts/train_eval_synth.py --tag two_stream --set two_stream=True
+
+Prints ONE JSON line with the config tag and held-out mAPs.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--tag", required=True)
+    p.add_argument("--steps", type=int, default=700)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--image-size", type=int, default=112)
+    p.add_argument("--classes", type=int, default=4)
+    p.add_argument("--eval-clips", type=int, default=48)
+    p.add_argument("--eval-batch", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--set", dest="overrides", default=None,
+                   help="comma-separated cfg overrides, e.g. reg_head=frame_fc")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from step_tpu.config import StepConfig
+    from step_tpu.data.pipeline import build_model_batch
+    from step_tpu.data.synthetic import SyntheticConfig, make_batch, make_flow
+    from step_tpu.eval.detection_metrics import frame_map
+    from step_tpu.inference import detect_clip
+    from step_tpu.models.detector import STEPDetector
+    from step_tpu.parallel.mesh import create_mesh, replicated_sharding
+    from step_tpu.parallel.distributed import make_global_batch
+    from step_tpu.train.trainer import (create_train_state,
+                                        make_parallel_train_step)
+    from step_tpu.utils.cli import apply_overrides
+    from step_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    cfg = StepConfig(
+        dataset="synthetic", num_classes=args.classes,
+        image_size=args.image_size, batch_size=args.batch,
+        learning_rate=args.lr, warmup_steps=min(100, args.steps // 5),
+        total_steps=args.steps, max_gt_tubes=2,
+    )
+    if args.overrides:
+        cfg = apply_overrides(cfg, args.overrides.split(","))
+    syn = SyntheticConfig(image_size=cfg.image_size,
+                          num_frames=cfg.total_frames,
+                          num_classes=cfg.num_classes,
+                          max_boxes=cfg.max_gt_tubes)
+
+    model = STEPDetector(cfg)
+    mesh = create_mesh((1,), cfg.mesh_axes)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        state = create_train_state(cfg, jax.random.PRNGKey(args.seed), model)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    pstep = make_parallel_train_step(cfg, model, mesh)
+    rng = jax.random.PRNGKey(args.seed + 1)
+
+    def model_batch(seed):
+        raw = make_batch(seed, cfg.batch_size, syn)
+        if cfg.two_stream:
+            raw["flow"] = np.stack([make_flow(r) for r in raw["rgb"]])
+        b = build_model_batch(raw, cfg, train=True, seed=seed,
+                              emit_uint8=cfg.uint8_transfer)
+        return make_global_batch({k: v for k, v in b.items() if k != "meta"},
+                                 mesh)
+
+    t0 = time.time()
+    losses = []
+    for step in range(args.steps):
+        batch = model_batch(args.seed * 1000 + step * cfg.batch_size)
+        state, metrics = pstep(state, batch, rng)
+        if step % 50 == 0 or step == args.steps - 1:
+            losses.append(round(float(metrics["loss"]), 3))
+            print(f"step {step}: loss={losses[-1]}", flush=True)
+    train_s = time.time() - t0
+
+    # ---- held-out eval (seeds disjoint from every training seed) ----
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    @jax.jit
+    def detect(variables, rgb, proposals, prop_mask, flow=None):
+        return detect_clip(variables, rgb, proposals, prop_mask, cfg, model,
+                           flow)
+
+    detections, frame_gt = [], []
+    EV = 10_000_000
+    for start in range(0, args.eval_clips, args.eval_batch):
+        n = min(args.eval_batch, args.eval_clips - start)
+        raw = make_batch(EV + start, n, syn)
+        flow = None
+        if cfg.two_stream:
+            flow = jnp.asarray(np.stack([make_flow(r) for r in raw["rgb"]]))
+        b = build_model_batch(raw, cfg, train=False)
+        props, pmask = STEPDetector.initial_proposals(cfg, n)
+        out = detect(variables, jnp.asarray(b["rgb"]), props, pmask, flow)
+        boxes = np.asarray(out["frame_boxes"])
+        scores = np.asarray(out["frame_scores"])
+        mask = np.asarray(out["frame_mask"])
+        T = cfg.total_frames
+        for bi in range(n):
+            vid = start + bi
+            # GT per frame
+            for g in range(raw["gt_mask"].shape[1]):
+                if raw["gt_mask"][bi, g] <= 0:
+                    continue
+                cls = int(raw["gt_labels"][bi, g])
+                for t in range(T):
+                    frame_gt.append(((vid, t), cls, raw["gt_tubes"][bi, g, t]))
+            keep = np.argwhere((mask[bi] > 0) & (scores[bi] > cfg.score_thresh))
+            for t, c, k in keep:
+                detections.append(
+                    ((vid, int(t)), int(c), float(scores[bi, t, c, k]),
+                     boxes[bi, t, c, k]))
+
+    m50 = frame_map(detections, frame_gt, cfg.num_classes, 0.5)["mAP"]
+    m20 = frame_map(detections, frame_gt, cfg.num_classes, 0.2)["mAP"]
+    print(json.dumps({
+        "tag": args.tag,
+        "overrides": args.overrides,
+        "steps": args.steps,
+        "batch": cfg.batch_size,
+        "image_size": cfg.image_size,
+        "num_classes": cfg.num_classes,
+        "frame_mAP@0.5": round(float(m50), 4),
+        "frame_mAP@0.2": round(float(m20), 4),
+        "loss_curve": losses,
+        "train_s": round(train_s, 1),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -133,6 +133,16 @@ class StepConfig:
                                         # | "pallas" (Pallas kernel)
                                         # | "gather" (scalar-semantics reference)
     temporal_extension: bool = True     # step>=2 extends tubes into neighbor chunks
+    # Regression-branch shape: "grid" (spatial-grid Dense(4) + temporal
+    # resize — this rebuild's head) | "frame_fc" (the reference's 4·T FC
+    # from the flattened tube feature). See models/nets.py::TwoBranchHead
+    # and the parity A/B in VALIDATION.md.
+    reg_head: str = "grid"
+    # Initial-cuboid layout: "default" (1 full + 4 corner + 4 edge +
+    # 2 center — tubes/proposals.py) | "grid3" (3x3 half-scale grid + full
+    # + 0.75 center). Parity-risk sensitivity knob (the reference's exact
+    # 11 rectangles are unverifiable with an empty mount).
+    cuboid_layout: str = "default"
     # Per-step proposal↔GT IoU matching thresholds (cascade-style increase).
     # Forgiving first step: the 11 coarse cuboids rarely clear high IoU, and
     # bipartite forcing only guarantees one positive per GT.

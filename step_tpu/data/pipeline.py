@@ -80,7 +80,9 @@ def build_model_batch(
     # call, which serialize behind batch transfers on the relay TPU
     # (measured 3.5 s/batch of pure stall — the round 2 training-throughput
     # bug). Proposal assembly must stay host-side.
-    base_tubes, base_mask = initial_cuboids_np(cfg.image_size, T, cfg.max_proposals)
+    base_tubes, base_mask = initial_cuboids_np(cfg.image_size, T,
+                                               cfg.max_proposals,
+                                               cfg.cuboid_layout)
     proposals = np.tile(base_tubes[None], (B, 1, 1, 1))
     prop_mask = np.tile(base_mask[None], (B, 1))
 

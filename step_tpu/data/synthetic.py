@@ -41,8 +41,26 @@ class SyntheticConfig:
             ],
             np.float32,
         )
-        reps = int(np.ceil(self.num_classes / len(base)))
-        return np.tile(base, (reps, 1))[: self.num_classes]
+        if self.num_classes <= len(base):
+            return base[: self.num_classes]
+        # Beyond 8 classes the old palette REPEATED colors, making classes
+        # indistinguishable (a silent mAP ceiling for the 60-class AVA-style
+        # oracle runs). Generate distinct colors on an HSV wheel instead:
+        # hues spread over [0, 1), alternating saturation/value rings.
+        n = self.num_classes
+        h = (np.arange(n, dtype=np.float32) * 0.6180339887) % 1.0  # golden
+        s = np.where(np.arange(n) % 2 == 0, 0.95, 0.55).astype(np.float32)
+        v = np.where(np.arange(n) % 4 < 2, 0.95, 0.6).astype(np.float32)
+        i = np.floor(h * 6.0).astype(np.int32) % 6
+        f = h * 6.0 - np.floor(h * 6.0)
+        p, q, t = v * (1 - s), v * (1 - f * s), v * (1 - (1 - f) * s)
+        rgb = np.choose(
+            i[:, None],
+            [np.stack([v, t, p], -1), np.stack([q, v, p], -1),
+             np.stack([p, v, t], -1), np.stack([p, q, v], -1),
+             np.stack([t, p, v], -1), np.stack([v, p, q], -1)],
+        )
+        return rgb.astype(np.float32)
 
 
 def make_clip(seed: int, cfg: SyntheticConfig = SyntheticConfig()):

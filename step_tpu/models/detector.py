@@ -109,6 +109,7 @@ class _StepBody(nn.Module):
             bn_folded=cfg.bn_folded,
             fused_inception=cfg.fused_inception,
             conv_impl=cfg.conv3d_impl,
+            reg_head=cfg.reg_head,
             dtype=jnp.dtype(cfg.compute_dtype),
             name="head",
         )
@@ -194,7 +195,8 @@ class STEPDetector(nn.Module):
     @staticmethod
     def initial_proposals(cfg: StepConfig, batch_size: int):
         """[B, P, T, 4] initial cuboids + [B, P] validity mask."""
-        tubes, mask = initial_cuboids(cfg.image_size, cfg.total_frames, cfg.max_proposals)
+        tubes, mask = initial_cuboids(cfg.image_size, cfg.total_frames,
+                                      cfg.max_proposals, cfg.cuboid_layout)
         return (
             jnp.broadcast_to(tubes[None], (batch_size, *tubes.shape)),
             jnp.broadcast_to(mask[None], (batch_size, mask.shape[0])),

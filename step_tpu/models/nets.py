@@ -114,6 +114,13 @@ class TwoBranchHead(nn.Module):
     conv_impl: str = "direct"
     reg_channels: int = 64          # 1x1 channel reduction before the
                                     # spatially-flattened regression Dense
+    # "grid" (default): shared Dense(4) over the reduced spatial grid +
+    #   linear temporal resize to T (this rebuild's head — keeps the spatial
+    #   position signal, cheap).
+    # "frame_fc": the reference's shape — one FC from the spatially-pooled
+    #   tube feature to all 4*T per-frame deltas (``TwoBranchNet``'s 4·T FC
+    #   (recon)). Kept for the parity A/B (VALIDATION.md).
+    reg_head: str = "grid"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -140,6 +147,26 @@ class TwoBranchHead(nn.Module):
         cls_logits = nn.Dense(self.num_cls_outputs, dtype=self.dtype, name="cls")(cls_feat)
 
         # ---- regression branch (per-frame deltas) ----
+        if self.reg_head == "frame_fc":
+            # Reference-shaped head: flatten the (reduced) grid ACROSS time
+            # and emit all 4*T deltas from one FC — per-frame outputs with
+            # full temporal mixing, no resize.
+            if self.conv_impl != "direct":
+                from step_tpu.models.i3d import _FastConv
+
+                r = _FastConv(self.reg_channels, (1, 1, 1), (1, 1, 1),
+                              impl=self.conv_impl, use_bias=True,
+                              dtype=self.dtype, name="reg_reduce")(x)
+            else:
+                r = nn.Conv(self.reg_channels, (1, 1, 1), dtype=self.dtype,
+                            name="reg_reduce")(x)
+            r = nn.relu(r).reshape(P, -1)              # [P, T'*7*7*c]
+            r = nn.Dropout(self.dropout_rate, deterministic=not train)(r)
+            deltas = nn.Dense(4 * self.num_frames, dtype=self.dtype,
+                              name="reg",
+                              kernel_init=nn.initializers.normal(1e-3))(r)
+            return (cls_logits.astype(jnp.float32),
+                    deltas.astype(jnp.float32).reshape(P, self.num_frames, 4))
         # Keep the spatial grid: where the target sits inside the anchor IS
         # the regression signal — averaging it away (as the cls branch does)
         # leaves the deltas unlearnable (observed: reg loss plateaus hard).

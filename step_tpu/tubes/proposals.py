@@ -25,6 +25,7 @@ def initial_cuboids_np(
     image_size: float,
     num_frames: int,
     max_proposals: int | None = None,
+    layout: str = "default",
 ) -> tuple[np.ndarray, np.ndarray]:
     """`initial_cuboids` as host numpy arrays (read-only, memoized).
 
@@ -35,16 +36,27 @@ def initial_cuboids_np(
     """
     s = float(image_size)
     boxes = [(0.0, 0.0, 1.0, 1.0)]  # full frame
-    # 2x2 corner grid at 0.5 scale
-    for cx in (0.25, 0.75):
-        for cy in (0.25, 0.75):
+    if layout == "grid3":
+        # 3x3 half-scale grid + centered 0.75 box (11 total) — the
+        # cuboid-layout sensitivity variant (VALIDATION.md A/B; the
+        # reference's exact 11 rectangles are a reconstruction risk).
+        for cx in (0.25, 0.5, 0.75):
+            for cy in (0.25, 0.5, 0.75):
+                boxes.append((cx - 0.25, cy - 0.25, cx + 0.25, cy + 0.25))
+        boxes.append((0.125, 0.125, 0.875, 0.875))
+    elif layout == "default":
+        # 2x2 corner grid at 0.5 scale
+        for cx in (0.25, 0.75):
+            for cy in (0.25, 0.75):
+                boxes.append((cx - 0.25, cy - 0.25, cx + 0.25, cy + 0.25))
+        # edge-centered half boxes
+        for cx, cy in ((0.5, 0.25), (0.5, 0.75), (0.25, 0.5), (0.75, 0.5)):
             boxes.append((cx - 0.25, cy - 0.25, cx + 0.25, cy + 0.25))
-    # edge-centered half boxes
-    for cx, cy in ((0.5, 0.25), (0.5, 0.75), (0.25, 0.5), (0.75, 0.5)):
-        boxes.append((cx - 0.25, cy - 0.25, cx + 0.25, cy + 0.25))
-    # centered boxes at 0.75 and 0.5 scale
-    for half in (0.375, 0.25):
-        boxes.append((0.5 - half, 0.5 - half, 0.5 + half, 0.5 + half))
+        # centered boxes at 0.75 and 0.5 scale
+        for half in (0.375, 0.25):
+            boxes.append((0.5 - half, 0.5 - half, 0.5 + half, 0.5 + half))
+    else:
+        raise ValueError(f"unknown cuboid layout {layout!r}")
 
     arr = np.asarray(boxes, np.float32) * s  # [11, 4]
     P = arr.shape[0]
@@ -67,6 +79,7 @@ def initial_cuboids(
     image_size: float,
     num_frames: int,
     max_proposals: int | None = None,
+    layout: str = "default",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Build the 11 initial cuboids, optionally padded to a static capacity.
 
@@ -74,5 +87,6 @@ def initial_cuboids(
       tubes: [P, T, 4] — identical box replicated across T frames.
       mask:  [P] float — 1 for the 11 real proposals, 0 for padding.
     """
-    tubes, mask = initial_cuboids_np(image_size, num_frames, max_proposals)
+    tubes, mask = initial_cuboids_np(image_size, num_frames, max_proposals,
+                                     layout)
     return jnp.asarray(tubes), jnp.asarray(mask)
