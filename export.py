@@ -20,6 +20,11 @@ def parse_args():
     p.add_argument("--out", required=True, help="output .stablehlo path")
     p.add_argument("--platforms", default=None,
                    help="comma-separated lowering targets, e.g. tpu,cpu")
+    p.add_argument("--optimized", action="store_true",
+                   help="export the inference-optimized program (BN folded "
+                        "+ fused Inception 1x1 — models/optimize.py; pass "
+                        "variables transformed by optimize_for_inference "
+                        "at serving time)")
     p.add_argument("--tiny", action="store_true")
     from step_tpu.utils.cli import add_common_args
 
@@ -39,6 +44,10 @@ def main():
     if args.tiny:
         cfg = cfg.replace(backbone_depth="tiny", feature_stride=8)
     cfg = apply_overrides(cfg, args.overrides)
+    if args.optimized:
+        # program-shape change only — the matching folded variables are
+        # produced at serving time by optimize_for_inference
+        cfg = cfg.replace(bn_folded=True, fused_inception=True)
     platforms = args.platforms.split(",") if args.platforms else None
     blob = export_detect_fn(cfg, batch_size=args.batch_size,
                             platforms=platforms)

@@ -155,6 +155,26 @@ def test_ucf_train_then_test_cli(mini_ucf, tmp_path):
         v2 = float(re.search(rf"{metric}: ([0-9.]+)", out_sh).group(1))
         assert v1 == pytest.approx(v2, abs=1e-3), metric
 
+    # --optimized: BN-folded + fused-Inception serving program must
+    # reproduce the standard metrics (fold is exact up to reassociation).
+    out_opt = run_cli(
+        "test.py", "--preset", "ucf_3step", "--data-root", mini_ucf,
+        "--ckpt-dir", ckpt, "--optimized",
+        "--set", "num_classes=2", *TINY_SET)
+    for metric in ("frame_mAP@0.5", "video_mAP@0.2"):
+        v1 = float(re.search(rf"{metric}: ([0-9.]+)", out).group(1))
+        v3 = float(re.search(rf"{metric}: ([0-9.]+)", out_opt).group(1))
+        assert v1 == pytest.approx(v3, abs=2e-2), metric
+
+    # --device-linking: on-device K-tube Viterbi video tubes → finite mAPs
+    out_dl = run_cli(
+        "test.py", "--preset", "ucf_3step", "--data-root", mini_ucf,
+        "--ckpt-dir", ckpt, "--device-linking",
+        "--set", "num_classes=2", *TINY_SET)
+    for metric in ("frame_mAP@0.5", "video_mAP@0.2", "video_mAP@0.5"):
+        m = re.search(rf"{metric}: ([0-9.nan]+)", out_dl)
+        assert m, out_dl
+
 
 def test_ava_train_then_test_cli(mini_ava, tmp_path):
     ckpt = str(tmp_path / "ckpt")
