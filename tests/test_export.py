@@ -55,3 +55,32 @@ def test_export_variables_structure_from_eval_shape():
     variables = model.init(jax.random.PRNGKey(1), rgb, proposals, prop_mask)
     out = run(variables, rgb, proposals, prop_mask)
     assert np.isfinite(np.asarray(out["tube_scores"])).all()
+
+
+def test_export_optimized_program_roundtrip():
+    """export.py --optimized path: the BN-folded + fused-Inception program
+    exports, loads, and reproduces the standard detect surface when fed
+    optimize_for_inference'd variables."""
+    from step_tpu.models.optimize import optimize_for_inference
+
+    cfg = _cfg()
+    model = STEPDetector(cfg)
+    rng = np.random.RandomState(2)
+    rgb = jnp.asarray(rng.rand(1, cfg.total_frames, cfg.image_size,
+                               cfg.image_size, 3), jnp.float32)
+    proposals, prop_mask = STEPDetector.initial_proposals(cfg, 1)
+    variables = model.init(jax.random.PRNGKey(3), rgb, proposals)
+
+    want = jax.jit(lambda v, r, p, m: detect_clip(v, r, p, m, cfg, model))(
+        variables, rgb, proposals, prop_mask)
+
+    cfg_opt, vars_opt = optimize_for_inference(cfg, variables)
+    blob = export_detect_fn(cfg_opt, batch_size=1)
+    run = load_detect_fn(blob)
+    out = run(vars_opt, rgb, proposals, prop_mask)
+    np.testing.assert_allclose(np.asarray(out["frame_scores"]),
+                               np.asarray(want["frame_scores"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["tubes"]),
+                               np.asarray(want["tubes"]),
+                               rtol=1e-4, atol=1e-3)
