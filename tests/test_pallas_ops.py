@@ -135,16 +135,19 @@ def test_max_pool_3d_pallas_dispatch(monkeypatch):
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(2, 5, 7, 7, 16), jnp.float32)
     ref = i3d.max_pool_3d(x, (3, 3, 3), (1, 1, 1))
-    monkeypatch.setattr(i3d, "_POOL3D_IMPL", "pallas")
+    # the env var is read PER CALL (advisor fix: setting it after import
+    # must take effect)
+    monkeypatch.setenv("STEP_TPU_POOL3D", "pallas")
     out = i3d.max_pool_3d(x, (3, 3, 3), (1, 1, 1))
     assert bool(jnp.all(out == ref))
     # non-matching window keeps the reduce_window path
+    monkeypatch.setenv("STEP_TPU_POOL3D", "direct")
     ref2 = i3d.max_pool_3d(x, (1, 3, 3), (1, 2, 2))
-    monkeypatch.setattr(i3d, "_POOL3D_IMPL", "direct")
+    monkeypatch.setenv("STEP_TPU_POOL3D", "pallas")
     assert bool(jnp.all(ref2 == i3d.max_pool_3d(x, (1, 3, 3), (1, 2, 2))))
 
 
-def test_pool_pallas_block_n_vmem_guard():
+def test_pool_pallas_block_n_vmem_guard(monkeypatch):
     """pick_block_n shrinks block_n for big spatial extents and returns None
     when even one clip's halo block exceeds the VMEM budget (the backbone's
     Mixed_3 shape), so max_pool_3d falls back to reduce_window."""
@@ -160,12 +163,8 @@ def test_pool_pallas_block_n_vmem_guard():
     x = jnp.asarray(rng.randn(2, 11, 30, 30, 8), jnp.float32)
     big = jnp.tile(x, (1, 1, 1, 1, 32))  # 256 channels
     ref = i3d.max_pool_3d(big, (3, 3, 3), (1, 1, 1))
-    old = i3d._POOL3D_IMPL
-    try:
-        i3d._POOL3D_IMPL = "pallas"
-        out = i3d.max_pool_3d(big, (3, 3, 3), (1, 1, 1))
-    finally:
-        i3d._POOL3D_IMPL = old
+    monkeypatch.setenv("STEP_TPU_POOL3D", "pallas")
+    out = i3d.max_pool_3d(big, (3, 3, 3), (1, 1, 1))
     assert bool(jnp.all(out == ref))
 
 
