@@ -33,7 +33,9 @@ enable_compile_cache()
 PEAK_BF16_FLOPS = 197e12
 BATCH = 16
 ITERS = 10
-FIT_STEPS = 16
+# 30 steps = one 20-step flush window (absorbs the compile) + a clean
+# 10-step window; the parser keeps the LAST window's clips/s.
+FIT_STEPS = 30
 
 
 def make_batches(cfg, n, seed=0):
@@ -75,14 +77,21 @@ def main():
         for b in host_batches]
     t0 = time.time()
     state, m = pstep(state, dev_batches[-1], rng)   # compile + settle
-    jax.block_until_ready(m["loss"])
+    _ = float(m["loss"])                             # real value readback
     compile_s = time.time() - t0
 
-    t0 = time.time()
+    # Per-step VALUE readbacks: the relay acks block_until_ready early and
+    # stalls pathologically on deep dispatch queues (measured 52-106 s/step
+    # artifacts with 10 queued steps), but it cannot fake a concrete value.
+    # The readback round-trip adds ~ms against ~1s steps; drop the first
+    # two steps (they absorb the still-in-flight batch uploads).
+    times = []
     for i in range(ITERS):
+        t0 = time.time()
         state, metrics = pstep(state, dev_batches[i], rng)
-    _ = float(metrics["loss"])                       # closes the chain
-    dt = (time.time() - t0) / ITERS
+        _ = float(metrics["loss"])
+        times.append(time.time() - t0)
+    dt = float(np.mean(times[2:]))
     clips_per_sec = cfg.batch_size / dt
 
     # ---- MFU from XLA cost analysis (scan-body correction, estimate) ----
@@ -139,16 +148,22 @@ def main():
             return cache[i]
 
     fit_cfg = cfg.replace(total_steps=FIT_STEPS, warmup_steps=2)
-    loader = DataLoader(_Cached(), fit_cfg, num_workers=2, prefetch=3)
-    with tempfile.TemporaryDirectory() as log_dir:
-        fit(fit_cfg, loader, num_epochs=100, log_dir=log_dir,
-            handle_signals=False)
-        fit_cps = None
-        with open(os.path.join(log_dir, "metrics.jsonl")) as f:
-            for line in f:
-                rec = json.loads(line)
-                if "clips_per_sec" in rec and rec["step"] > FIT_STEPS // 2:
-                    fit_cps = rec["clips_per_sec"]  # last flush window avg
+
+    def run_fit(prefetch_upload):
+        loader = DataLoader(_Cached(), fit_cfg, num_workers=2, prefetch=3)
+        with tempfile.TemporaryDirectory() as log_dir:
+            fit(fit_cfg, loader, num_epochs=100, log_dir=log_dir,
+                handle_signals=False, prefetch_upload=prefetch_upload)
+            cps = None
+            with open(os.path.join(log_dir, "metrics.jsonl")) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if "clips_per_sec" in rec and rec["step"] > 20:
+                        cps = rec["clips_per_sec"]  # last (clean) window avg
+            return cps
+
+    fit_cps = run_fit(True)
+    fit_cps_nopf = run_fit(False)
 
     print(json.dumps({
         "metric": "train_clips_per_sec_per_chip",
@@ -158,6 +173,8 @@ def main():
         "mfu": round(mfu, 4) if mfu is not None else None,
         "fit_clips_per_sec": round(fit_cps, 2) if fit_cps else None,
         "fit_step_ms": round(1000 * cfg.batch_size / fit_cps, 1) if fit_cps else None,
+        "fit_clips_per_sec_no_prefetch": (round(fit_cps_nopf, 2)
+                                          if fit_cps_nopf else None),
         "batch": cfg.batch_size,
         "compile_s": round(compile_s, 1),
         "config": "ucf_3step train (3 steps, 18 frames, 224px, I3D, AdamW)",

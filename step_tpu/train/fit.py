@@ -95,6 +95,7 @@ def fit(
     eval_every_epochs: int = 1,
     seed: int = 0,
     handle_signals: bool = True,
+    prefetch_upload: bool = True,
 ):
     """Train `cfg` on `loader` (a DataLoader). Returns the final TrainState."""
     model = model or STEPDetector(cfg)
@@ -206,13 +207,17 @@ def fit(
         # resident at a time (~43 MB each at the production config, uint8).
         gen = batches()
         nxt = next(gen, None)
-        nxt_dev = None if nxt is None else make_global_batch(nxt[2], mesh)
+        nxt_dev = None
         while nxt is not None:
+            if nxt_dev is None:
+                nxt_dev = make_global_batch(nxt[2], mesh)
             (epoch, bi, _), device_batch = nxt, nxt_dev
             state, metrics = pstep(state, device_batch, rng)
             nxt = next(gen, None)
-            if nxt is not None:
-                nxt_dev = make_global_batch(nxt[2], mesh)
+            # prefetch_upload=False restores the upload-before-own-step
+            # order (A/B toggle; see bench_train.py)
+            nxt_dev = (make_global_batch(nxt[2], mesh)
+                       if (nxt is not None and prefetch_upload) else None)
             host_step += 1
             pending.append((
                 host_step,
