@@ -95,7 +95,14 @@ def fit(
     eval_every_epochs: int = 1,
     seed: int = 0,
     handle_signals: bool = True,
-    prefetch_upload: bool = True,
+    # Dispatch the NEXT batch's device_put right after the current step so
+    # a host with real async DMA overlaps transfer with compute. MEASURED
+    # on the relay-tunneled v5e (bench_train.py): the relay serializes
+    # uploads with compute in dispatch order, so there is no overlap to
+    # win (1.31 s/step without prefetch ≈ 1.0 s upload + 0.26 s compute,
+    # vs 1.46 WITH prefetch — the extra resident buffer only adds
+    # overhead). Default off; flip on for PCIe/direct-attached hosts.
+    prefetch_upload: bool = False,
 ):
     """Train `cfg` on `loader` (a DataLoader). Returns the final TrainState."""
     model = model or STEPDetector(cfg)
