@@ -123,7 +123,15 @@ def build_model_batch(
         "gt_mask": gt_mask.astype(np.float32),
     }
     if "flow" in raw:
-        batch["flow"] = raw["flow"].astype(np.float32)
+        if emit_uint8:
+            # flow analog of the rgb uint8 path: JPEG-sourced flow is
+            # quantized at 1/127.5 already, so int8 wire format is lossless
+            # and 4x cheaper to ship (dequantized on device —
+            # preprocess.device_preprocess_flow)
+            batch["flow"] = np.clip(
+                np.round(raw["flow"] * 127.0), -127, 127).astype(np.int8)
+        else:
+            batch["flow"] = raw["flow"].astype(np.float32)
     if cfg.multilabel and labels.ndim == 2:
         # convert int labels to multi-hot if a multilabel dataset handed ints
         onehot = np.zeros((*labels.shape, cfg.num_classes), np.float32)

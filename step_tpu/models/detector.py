@@ -30,7 +30,7 @@ import flax.linen as nn
 
 from step_tpu.config import StepConfig
 from step_tpu.models.nets import FeatureNet, ContextNet, TwoBranchHead
-from step_tpu.preprocess import device_preprocess
+from step_tpu.preprocess import device_preprocess, device_preprocess_flow
 from step_tpu.ops.roi_align import tube_roi_align
 from step_tpu.tubes.boxes import decode_boxes, clip_boxes
 from step_tpu.tubes.tube_ops import chunk_frame_mask, extrapolate_tubes
@@ -164,6 +164,10 @@ class STEPDetector(nn.Module):
         # [-1,1] flow as its primary input — already normalized.
         if cfg.input_stream == "rgb":
             rgb = device_preprocess(rgb)
+        else:
+            rgb = device_preprocess_flow(rgb)
+        if flow is not None:
+            flow = device_preprocess_flow(flow)
         feat = FeatureNet(two_stream=cfg.two_stream, depth=cfg.backbone_depth,
                            s2d=cfg.stem_s2d, fuse_bn_relu=cfg.fused_bn_relu,
                            bn_folded=cfg.bn_folded,

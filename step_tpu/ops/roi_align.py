@@ -218,7 +218,24 @@ def batched_tube_roi_align_kron(
     k2 = kron_interp_weights(
         boxes, pooled_size, spatial_scale, sampling_ratio, H, W
     )                                                          # [B, T', R, K]
-    feat2 = features.reshape(B, Tp, H * W, C).astype(jnp.float32)
+    # Contract in the FEATURE dtype: the interpolation weights are computed
+    # in f32 (cheap, [B,T',R,K]) but the big einsum runs bf16-in/bf16-out
+    # when the model is bf16 — upcasting to f32 made XLA materialize and
+    # then convert a 1.67 GB f32 intermediate (trace r3: copy.407/408,
+    # ~17 ms/batch at B=128). MXU accumulation is f32 either way; only the
+    # stored output rounds, which the bf16 model does everywhere else too.
+    # On f32 inputs (CPU tests, reference parity) nothing changes.
+    feat2 = features.reshape(B, Tp, H * W, C)
+    k2 = k2.astype(features.dtype)
+    import os
+
+    if os.environ.get("STEP_TPU_KRON_OUT", "btrc") == "brtc":
+        # Experimental output order (measured neutral at B=128): ask the
+        # dot for [B, R, T', C] so the N-major permutation folds into the
+        # matmul epilogue.
+        out = jnp.einsum("btrk,btkc->brtc", k2, feat2)        # [B, R, T', C]
+        out = out.reshape(B, N, pooled_size, pooled_size, Tp, C)
+        return jnp.moveaxis(out, 4, 2).astype(features.dtype)
     out = jnp.einsum("btrk,btkc->btrc", k2, feat2)            # [B, T', R, C]
     out = out.reshape(B, Tp, N, pooled_size, pooled_size, C)
     return jnp.swapaxes(out, 1, 2).astype(features.dtype)
