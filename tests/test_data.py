@@ -307,3 +307,35 @@ def test_loader_uint8_transfer_default():
     # non-rgb keys stay float regardless
     for k in ("proposals", "prop_mask", "gt_tubes", "gt_mask"):
         assert b_u8[k].dtype == np.float32
+
+
+def test_loader_int8_flow_transfer():
+    """uint8_transfer ships flow as int8 (lossless for JPEG-sourced flow);
+    device_preprocess_flow dequantizes back within 1/254."""
+    from step_tpu.data.pipeline import build_model_batch
+    from step_tpu.preprocess import device_preprocess_flow
+
+    rng = np.random.RandomState(0)
+    # flow as it comes from uint8 flow images: quantized at 1/127.5
+    u8 = rng.randint(0, 256, (1, 4, 8, 8, 2)).astype(np.float32)
+    flow = u8 / 255.0 * 2.0 - 1.0
+    raw = {
+        "rgb": rng.rand(1, 4, 8, 8, 3).astype(np.float32),
+        "flow": flow,
+        "gt_tubes": np.zeros((1, 2, 4, 4), np.float32),
+        "gt_labels": np.zeros((1, 2), np.int32),
+        "gt_mask": np.zeros((1, 2), np.float32),
+    }
+    cfg = StepConfig(dataset="synthetic", num_classes=4, frames_per_chunk=4,
+                     num_chunks=1, num_steps=1, iou_thresholds=(0.5,),
+                     step_loss_weights=(1.0,), temporal_extension=False,
+                     image_size=8, max_gt_tubes=2)
+    import jax.numpy as jnp
+
+    b = build_model_batch(raw, cfg, emit_uint8=True)
+    assert b["flow"].dtype == np.int8
+    deq = np.asarray(device_preprocess_flow(jnp.asarray(b["flow"])))
+    np.testing.assert_allclose(deq, flow, atol=1.0 / 254.0 + 1e-6)
+    # f32 path untouched
+    b32 = build_model_batch(raw, cfg, emit_uint8=False)
+    assert b32["flow"].dtype == np.float32
