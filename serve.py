@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Serving CLI: run an AOT-exported detect program over frame directories.
+
+Completes the serving story (reference parity: none — the reference serves
+by shipping the repo; see utils/export.py): a serving process needs only
+
+  * the exported StableHLO artifact (`export.py --out detect.stablehlo`),
+  * an orbax checkpoint directory (weights are NOT baked into the program),
+  * frame JPEGs per video.
+
+No model-building Python runs at serving time — the program is
+deserialized and called; there is no retrace/recompile risk. The preset
+(+ --optimized) must match how the program was exported, because the
+checkpoint's variable tree is transformed to the program's expected
+structure (standard, or BN-folded + fused via models/optimize.py).
+
+    python serve.py --program detect.stablehlo --preset ucf_3step \
+        --ckpt-dir runs/ucf/ckpt --frames-dir /data/frames/video1 \
+        --out dets.pkl
+"""
+
+import argparse
+import os
+import pickle
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Serve an exported detect program")
+    p.add_argument("--program", required=True, help=".stablehlo artifact")
+    p.add_argument("--preset", default="ucf_3step")
+    p.add_argument("--ckpt-dir", required=True)
+    p.add_argument("--frames-dir", required=True,
+                   help="directory of frame JPEGs (sorted order), or a "
+                        "directory of such per-video directories")
+    p.add_argument("--out", default="detections.pkl")
+    p.add_argument("--batch-size", type=int, default=8,
+                   help="must match the exported program's batch dimension")
+    p.add_argument("--optimized", action="store_true",
+                   help="the program was exported with --optimized; fold "
+                        "the checkpoint to match")
+    p.add_argument("--tiny", action="store_true")
+    from step_tpu.utils.cli import add_common_args
+
+    add_common_args(p)
+    return p.parse_args()
+
+
+def _video_dirs(root):
+    entries = sorted(os.listdir(root))
+    subdirs = [os.path.join(root, e) for e in entries
+               if os.path.isdir(os.path.join(root, e))]
+    return subdirs if subdirs else [root]
+
+
+def _load_clips(frames_dir, cfg, batch_size):
+    """Frame JPEGs → [L, T, S, S, 3] float clips (pad tail by repetition) +
+    per-clip frame index lists."""
+    import cv2
+    import numpy as np
+
+    names = sorted(f for f in os.listdir(frames_dir)
+                   if f.lower().endswith((".jpg", ".jpeg", ".png")))
+    if not names:
+        raise FileNotFoundError(f"no frames under {frames_dir}")
+    S, T = cfg.image_size, cfg.total_frames
+    frames = []
+    for n in names:
+        img = cv2.imread(os.path.join(frames_dir, n), cv2.IMREAD_COLOR)
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+        frames.append(cv2.resize(img, (S, S)))
+    F = len(frames)
+    L = max(1, -(-F // T))
+    pad = L * T - F
+    frames = np.stack(frames + [frames[-1]] * pad)
+    clips = frames.reshape(L, T, S, S, 3)
+    idx = np.arange(L * T).reshape(L, T).clip(0, F - 1)
+    return clips, idx
+
+
+def main():
+    args = parse_args()
+    from step_tpu.utils.cli import apply_overrides, force_platform
+
+    force_platform(args)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from step_tpu.config import PRESETS
+    from step_tpu.models.detector import STEPDetector
+    from step_tpu.train.trainer import create_train_state
+    from step_tpu.utils.checkpoint import restore_checkpoint
+    from step_tpu.utils.export import load_detect_fn
+
+    cfg = PRESETS[args.preset]
+    if args.tiny:
+        cfg = cfg.replace(backbone_depth="tiny", feature_stride=8)
+    cfg = apply_overrides(cfg, args.overrides)
+
+    state = create_train_state(cfg, jax.random.PRNGKey(0), STEPDetector(cfg))
+    state, _ = restore_checkpoint(args.ckpt_dir, state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if args.optimized:
+        from step_tpu.models.optimize import optimize_for_inference
+
+        cfg, variables = optimize_for_inference(cfg, variables)
+
+    with open(args.program, "rb") as f:
+        run = load_detect_fn(f.read())
+    print(f"loaded program {args.program} "
+          f"({os.path.getsize(args.program)} bytes)", flush=True)
+
+    B = args.batch_size
+    detections = []
+    for vdir in _video_dirs(args.frames_dir):
+        video = os.path.basename(vdir.rstrip("/"))
+        clips, idx = _load_clips(vdir, cfg, B)
+        L = clips.shape[0]
+        for s in range(0, L, B):
+            chunk = clips[s : s + B]
+            n = chunk.shape[0]
+            if n < B:  # pad the final batch; padded rows dropped below
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], B - n, axis=0)])
+            props, pmask = STEPDetector.initial_proposals(cfg, B)
+            out = run(variables, jnp.asarray(chunk), props, pmask)
+            boxes = np.asarray(out["frame_boxes"])[:n]
+            scores = np.asarray(out["frame_scores"])[:n]
+            mask = np.asarray(out["frame_mask"])[:n]
+            for b in range(n):
+                keep = np.argwhere((mask[b] > 0) & (scores[b] > cfg.score_thresh))
+                for t, c, k in keep:
+                    detections.append((
+                        (video, int(idx[s + b, t]) + 1), int(c),
+                        float(scores[b, t, c, k]), boxes[b, t, c, k]))
+        print(f"{video}: {L} clips served", flush=True)
+
+    with open(args.out, "wb") as f:
+        pickle.dump({"detections": detections}, f)
+    print(f"wrote {len(detections)} detections -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -233,3 +233,32 @@ def test_classify_cli(tmp_path):
     probs = [float(l.split()[0]) for l in lines]
     assert all(0.0 <= p <= 1.0 for p in probs)
     assert probs == sorted(probs, reverse=True)
+
+
+def test_export_then_serve_cli(mini_ucf, tmp_path):
+    """Full serving journey: train → checkpoint → export StableHLO →
+    serve.py over a frames directory → detections pickle."""
+    ckpt = str(tmp_path / "ckpt")
+    run_cli("train.py", "--dataset", "ucf101_24", "--data-root", mini_ucf,
+            "--ckpt-dir", ckpt, "--epochs", "1",
+            "--set", "num_classes=2", *TINY_SET)
+
+    prog = str(tmp_path / "detect.stablehlo")
+    run_cli("export.py", "--preset", "ucf_3step", "--batch-size", "2",
+            "--out", prog, "--set", "num_classes=2", *TINY_SET)
+    assert os.path.getsize(prog) > 1000
+
+    # serve over one of the miniature dataset's frame dirs
+    frames_root = os.path.join(mini_ucf, "rgb-images", "Run", "v2")
+    out = str(tmp_path / "served.pkl")
+    r = run_cli("serve.py", "--program", prog, "--preset", "ucf_3step",
+                "--ckpt-dir", ckpt, "--frames-dir", frames_root,
+                "--out", out, "--batch-size", "2",
+                "--set", "num_classes=2", "--set", "score_thresh=0.0",
+                *TINY_SET)
+    assert "served" in r
+    with open(out, "rb") as f:
+        dets = pickle.load(f)["detections"]
+    assert isinstance(dets, list)
+    for (video, frame), c, s, box in dets[:5]:
+        assert frame >= 1 and 0 <= c < 2 and np.isfinite(s)
