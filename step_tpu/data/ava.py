@@ -68,11 +68,16 @@ class AVADataset:
         excluded_keyframes: Optional[set] = None,
         label_map=None,
         exclusions_file: Optional[str] = None,
+        use_native: bool = True,
     ):
         self.root = root
         self.cfg = cfg
         self.fps = fps
         self.augment = TubeAugment() if augment else None
+        # The C++ loader decodes straight to model resolution; augmentation
+        # needs native-resolution frames, so it keeps the python path
+        # (same policy as UCFDataset).
+        self.use_native = use_native and not augment
         self.label_map = label_map
         self.annotations = read_ava_csv(
             os.path.join(root, annotation_file), label_map
@@ -147,20 +152,47 @@ class AVADataset:
             g += 1
         return gt_tubes, gt_labels, gt_mask
 
+    def _frame_paths(self, video: str, frame_nums) -> list:
+        """Existing frame path per clip position (boundary-repeat fill)."""
+        paths, last_ok = [], None
+        for fn in frame_nums:
+            path = self._frame_path(video, int(fn))
+            if os.path.exists(path):
+                last_ok = path
+            elif last_ok is None:
+                raise FileNotFoundError(path)
+            paths.append(last_ok)
+        return paths
+
     def __getitem__(self, i: int) -> dict:
         video, ts = self.keyframes[i]
         cfg = self.cfg
         frame_nums = self.clip_frame_numbers(ts)
-        frames = []
-        last_ok = None
-        for fn in frame_nums:
-            path = self._frame_path(video, int(fn))
-            if os.path.exists(path):
-                last_ok = _load_image(path)
-            elif last_ok is None:
-                raise FileNotFoundError(path)
-            frames.append(last_ok)
-        frames = np.stack(frames)
+        paths = self._frame_paths(video, frame_nums)
+
+        if self.use_native:
+            from step_tpu.data import native_loader
+
+            if native_loader.native_available():
+                frames = native_loader.decode_clip(
+                    paths, cfg.image_size,
+                    np.zeros(3, np.float32), np.ones(3, np.float32))
+                # AVA GT is normalized — it scales to the decoded (model)
+                # resolution directly, no second resize needed
+                gt_tubes, gt_labels, gt_mask = self._gt_for_keyframe(
+                    (video, ts), frames.shape[1:3]
+                )
+                return {
+                    "rgb": frames.astype(np.float32),
+                    "gt_tubes": np.clip(gt_tubes, 0, cfg.image_size).astype(
+                        np.float32),
+                    "gt_labels": gt_labels,
+                    "gt_mask": gt_mask,
+                    "video": video,
+                    "timestamp": ts,
+                }
+
+        frames = np.stack([_load_image(p) for p in paths])
 
         gt_tubes, gt_labels, gt_mask = self._gt_for_keyframe(
             (video, ts), frames.shape[1:3]

@@ -339,3 +339,20 @@ def test_loader_int8_flow_transfer():
     # f32 path untouched
     b32 = build_model_batch(raw, cfg, emit_uint8=False)
     assert b32["flow"].dtype == np.float32
+
+
+def test_ava_native_loader_matches_python_path(ava_root):
+    """AVA clips decoded by the C++ loader match the python cv2 path (the
+    UCF parity guarantee, extended to AVA in round 3)."""
+    from step_tpu.data import native_loader
+
+    if not native_loader.native_available():
+        pytest.skip("native loader not built")
+    cfg = CFG.replace(dataset="ava", multilabel=True, num_classes=3)
+    ds_nat = AVADataset(ava_root, cfg, "ava_train.csv", fps=5, use_native=True)
+    ds_py = AVADataset(ava_root, cfg, "ava_train.csv", fps=5, use_native=False)
+    a, b = ds_nat[0], ds_py[0]
+    assert a["rgb"].shape == b["rgb"].shape
+    np.testing.assert_allclose(a["rgb"], b["rgb"], atol=2e-2)
+    np.testing.assert_allclose(a["gt_tubes"], b["gt_tubes"], atol=1e-3)
+    np.testing.assert_array_equal(a["gt_labels"], b["gt_labels"])
