@@ -169,12 +169,20 @@ def link_tubes_k(
 
     _, (paths, values, chosen) = jax.lax.scan(one, valid, None, length=k)
 
+    # Exhaustion guard: once suppression has used every valid node of some
+    # clip (k exceeds that clip's valid tube count), the next Viterbi pass
+    # is forced through a suppressed node (value picks up a NEG) yet
+    # `chosen` would still read that node's ORIGINAL score — emitting a
+    # duplicate tube. Kill such paths outright.
+    alive = (values > 0.5 * NEG).astype(jnp.float32)         # [K]
+
     # Temporal trim: padded clips always fall below threshold.
     trim_in = jnp.where(clip_mask[None, :] > 0,
                         chosen - trim_thresh, -2.0 * abs(trim_thresh) - 1e-3)
     trim, _ = jax.vmap(max_subarray_mask)(trim_in)
+    trim = trim * alive[:, None]
     n_active = jnp.maximum(jnp.sum(trim, axis=1), 1.0)
-    tube_scores = jnp.sum(chosen * trim, axis=1) / n_active
+    tube_scores = jnp.sum(chosen * trim, axis=1) / n_active * alive
     return {"paths": paths, "values": values, "trim": trim,
             "tube_scores": tube_scores}
 

@@ -304,3 +304,24 @@ def test_link_tubes_k_matches_host_linker_video_map():
     m_host = video_map(host_tubes, gt_tubes, 1, 0.5)["mAP"]
     assert m_dev == pytest.approx(1.0, abs=1e-6)
     assert m_dev == pytest.approx(m_host, abs=1e-6)
+
+
+def test_link_tubes_k_exhaustion_guard():
+    """k greater than the valid tube count: exhausted paths must emit zero
+    tube_scores and empty trims instead of duplicating used nodes."""
+    from step_tpu.tubes.linking import link_tubes_k
+
+    L, P = 3, 4
+    rng = np.random.RandomState(6)
+    tubes = rng.rand(L, P, 2, 4).astype(np.float32) * 40
+    tubes[..., 2:] += tubes[..., :2] + 10
+    scores = rng.rand(L, P).astype(np.float32) + 0.2
+    valid = np.zeros((L, P), np.float32)
+    valid[:, :2] = 1.0                      # only 2 valid tubes per clip
+    out = link_tubes_k(jnp.asarray(tubes), jnp.asarray(scores),
+                       jnp.asarray(valid), k=4, trim_thresh=0.1)
+    ts = np.asarray(out["tube_scores"])
+    trim = np.asarray(out["trim"])
+    assert (ts[:2] > 0).all()               # two real tubes survive
+    assert (ts[2:] == 0).all()              # exhausted paths killed
+    assert trim[2:].sum() == 0
