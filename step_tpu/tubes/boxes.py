@@ -56,9 +56,18 @@ def encode_boxes(
     anchors: jnp.ndarray,
     variances=(0.1, 0.2),
 ) -> jnp.ndarray:
-    """Encode target `boxes` relative to `anchors` → deltas [..., 4]."""
+    """Encode target `boxes` relative to `anchors` → deltas [..., 4].
+
+    Anchor extents clamp to 1 px (coordinates are in pixels): a proposal
+    that degenerated to zero width/height (e.g. clipped entirely against
+    the image border) and then gets force-matched would otherwise produce
+    1/EPS-scale regression targets — observed as a transient 3e7 loss
+    spike on the synthetic oracle (VALIDATION.md round-3 A/B).
+    """
     bcx, bcy, bw, bh = _to_cxcywh(boxes)
     acx, acy, aw, ah = _to_cxcywh(anchors)
+    aw = jnp.maximum(aw, 1.0)
+    ah = jnp.maximum(ah, 1.0)
     dx = (bcx - acx) / (aw * variances[0])
     dy = (bcy - acy) / (ah * variances[0])
     dw = jnp.log(bw / aw) / variances[1]

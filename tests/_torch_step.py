@@ -183,6 +183,9 @@ def encode_boxes_torch(boxes, anchors, variances=(0.1, 0.2)):
 
     bcx, bcy, bw, bh = cxcywh(boxes)
     acx, acy, aw, ah = cxcywh(anchors)
+    # 1 px anchor-extent clamp — matches tubes/boxes.py::encode_boxes
+    aw = torch.clamp(aw, min=1.0)
+    ah = torch.clamp(ah, min=1.0)
     return torch.stack([
         (bcx - acx) / (aw * variances[0]),
         (bcy - acy) / (ah * variances[0]),

@@ -134,3 +134,19 @@ def test_initial_cuboids_np_matches_and_is_host_side():
     np.testing.assert_array_equal(mask_np, np.asarray(mask_j))
     # memoized: same object back
     assert initial_cuboids_np(224, 6, 16)[0] is tubes_np
+
+
+def test_encode_degenerate_anchor_bounded():
+    """A zero-extent anchor (border-clipped proposal) must produce bounded
+    regression targets (1 px clamp), not 1/EPS-scale explosions."""
+    from step_tpu.tubes.boxes import decode_boxes, encode_boxes
+
+    target = jnp.asarray([10.0, 10.0, 40.0, 40.0])
+    degenerate = jnp.asarray([224.0, 100.0, 224.0, 100.0])  # clipped to edge
+    d = np.asarray(encode_boxes(target, degenerate))
+    assert np.isfinite(d).all()
+    assert np.abs(d).max() < 1e4  # was ~1e10 with the EPS-clamped width
+    # round trip still holds for healthy anchors
+    anchor = jnp.asarray([8.0, 12.0, 50.0, 45.0])
+    rt = decode_boxes(encode_boxes(target, anchor), anchor)
+    np.testing.assert_allclose(np.asarray(rt), np.asarray(target), atol=1e-4)
