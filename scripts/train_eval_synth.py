@@ -95,9 +95,13 @@ def main():
     for step in range(args.steps):
         batch = model_batch(args.seed * 1000 + step * cfg.batch_size)
         state, metrics = pstep(state, batch, rng)
+        # Per-step VALUE readback: the axon relay stalls pathologically on
+        # back-to-back heavy dispatches with no readback (CLAUDE.md round-3
+        # failure mode); a concrete float costs ~ms and keeps it honest.
+        loss = round(float(metrics["loss"]), 3)
         if step % 50 == 0 or step == args.steps - 1:
-            losses.append(round(float(metrics["loss"]), 3))
-            print(f"step {step}: loss={losses[-1]}", flush=True)
+            losses.append(loss)
+            print(f"step {step}: loss={loss}", flush=True)
     train_s = time.time() - t0
 
     # ---- held-out eval (seeds disjoint from every training seed) ----
