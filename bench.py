@@ -95,46 +95,35 @@ def main():
     clips_per_sec = BATCH / dt
 
     # ---- MFU from XLA's own FLOP count (per batched call) ----
+    # XLA's cost_analysis counts a scanned body ONCE regardless of trip
+    # count (verified: the 1-step and 3-step detect programs report an
+    # identical 5.832 TF). So the FLOP denominator comes from an UNROLLED
+    # lowering of the SAME program (cfg.scan_unroll — identical math,
+    # bit-exact-tested in tests/test_models.py): every refinement step's
+    # tail, ROI pooling, and heads are counted exactly. This replaces the
+    # former (S-1)x-standalone-tail correction, which undercounted the
+    # per-step heads/ROI by ~5%. The compile is cached (.jax_cache), and
+    # the timed `detect` above is untouched.
     mfu = None
     try:
-        cost = (
-            detect.lower(variables, rgb, proposals, prop_mask)
-            .compile()
-            .cost_analysis()
-        )
+        if cfg.scan_unroll:
+            compiled = detect.lower(variables, rgb, proposals, prop_mask).compile()
+        else:
+            import dataclasses
+
+            ucfg = dataclasses.replace(cfg, scan_unroll=True)
+            umodel = STEPDetector(ucfg)
+            compiled = (
+                jax.jit(
+                    lambda v, r, p, m: detect_clip(v, r, p, m, ucfg, umodel)
+                )
+                .lower(variables, rgb, proposals, prop_mask)
+                .compile()
+            )
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
-        # XLA's cost_analysis counts a scanned body ONCE regardless of trip
-        # count (verified: the 1-step and 3-step detect programs report an
-        # identical 5.832 TF). Correct by adding (S-1) x the per-step tail
-        # FLOPs from a standalone lowering of I3DTail at the pooled-tube
-        # shape — a slight UNDERcount (omits the per-step heads/ROI, ~5%),
-        # so the reported MFU is a floor.
-        if flops > 0 and cfg.num_steps > 1:
-            from step_tpu.models.i3d import I3DTail
-
-            tail = I3DTail(depth=cfg.backbone_depth,
-                           dtype=jnp.dtype(cfg.compute_dtype))
-            Tp = (cfg.total_frames + 3) // 4  # stem temporal stride 4
-            cdt = jnp.dtype(cfg.compute_dtype)
-            # rows the per-step tail actually processes (head_compact runs
-            # it on the active slots only)
-            rows = cfg.active_proposals if cfg.head_compact else cfg.max_proposals
-            # shape-only lowering: no device memory for the pooled tensor
-            # (a live zeros array here is ~835 MB at B=128) or the params
-            pooled = jax.ShapeDtypeStruct(
-                (BATCH * rows, Tp,
-                 cfg.pooled_size, cfg.pooled_size, 832), cdt)
-            tvars = jax.eval_shape(
-                tail.init, jax.random.PRNGKey(0),
-                jax.ShapeDtypeStruct(
-                    (1, Tp, cfg.pooled_size, cfg.pooled_size, 832), cdt))
-            tc = (jax.jit(tail.apply).lower(tvars, pooled).compile()
-                  .cost_analysis())
-            if isinstance(tc, (list, tuple)):
-                tc = tc[0]
-            flops += (cfg.num_steps - 1) * float(tc.get("flops", 0.0))
         if flops > 0:
             mfu = flops / dt / PEAK_BF16_FLOPS
     except Exception:

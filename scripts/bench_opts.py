@@ -79,6 +79,10 @@ def main():
     cfg_ff, vars_ff = optimize_for_inference(cfg0, variables)
     run("fold+fuse", cfg_ff, vars_ff, rgb, device)
     run("all", cfg_ff.replace(head_compact=True), vars_ff, rgb, device)
+    # scan_unroll: identical math (bit-exact-tested), different lowering —
+    # removes the per-iteration dynamic-slice of the stacked per-step tail
+    # params and lets XLA schedule across step boundaries.
+    run("ff+unroll", cfg_ff.replace(scan_unroll=True), vars_ff, rgb, device)
 
 
 if __name__ == "__main__":

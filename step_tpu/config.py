@@ -118,6 +118,17 @@ class StepConfig:
 
     # ---- progressive refinement ----
     num_steps: int = 3                  # S — refinement steps, run as fixed-trip lax.scan
+    # Unroll the S-step refinement scan at lowering time (flax nn.scan
+    # unroll=S). Semantics and the checkpoint layout are IDENTICAL — params
+    # stay stacked on axis 0; only the lowered control flow changes. Why it
+    # can matter on TPU: the rolled scan dynamic-slices the whole stacked
+    # per-step tail weights out of HBM every iteration and blocks
+    # cross-step scheduling, while the unrolled body lets XLA treat each
+    # step's params as plain constants-by-slice and fuse/overlap across
+    # step boundaries. Also makes XLA cost_analysis count every step's
+    # FLOPs (bench.py uses an unrolled lowering for its exact MFU
+    # denominator). Compile time grows ~Sx for the refinement portion.
+    scan_unroll: bool = False
     num_proposals: int = 11             # initial hand-placed cuboids (paper §3.1)
     # Static padded proposal capacity (>= num_proposals). 16 measured FASTER
     # than the tight 11 despite 5 dead slots riding the per-step I3D tail

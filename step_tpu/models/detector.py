@@ -189,6 +189,7 @@ class STEPDetector(nn.Module):
             in_axes=0,
             out_axes=0,
             length=cfg.num_steps,
+            unroll=cfg.num_steps if cfg.scan_unroll else 1,
         )
         carry = (feat, ctx, proposals.astype(jnp.float32))
         steps = jnp.arange(cfg.num_steps)

@@ -203,3 +203,21 @@ def test_detector_train_mode_mutates_batch_stats(tiny_detector):
     before = jax.tree_util.tree_leaves(variables["batch_stats"])[0]
     after = jax.tree_util.tree_leaves(mutated["batch_stats"])[0]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_detector_scan_unroll_is_exact(tiny_detector):
+    """cfg.scan_unroll changes lowering only: outputs are bit-identical and
+    the variable tree (stacked per-step params) is unchanged."""
+    cfg, model, variables, rgb, props = tiny_detector
+    ucfg = cfg.replace(scan_unroll=True)
+    umodel = STEPDetector(ucfg)
+    out = jax.jit(lambda v, r, p: model.apply(v, r, p))(variables, rgb, props)
+    uout = jax.jit(lambda v, r, p: umodel.apply(v, r, p))(variables, rgb, props)
+    assert set(out) == set(uout)
+    for k in out:
+        np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(uout[k]),
+                                      err_msg=k)
+    # init under unroll produces the same tree/shapes (checkpoints portable)
+    uvars = umodel.init(jax.random.PRNGKey(0), rgb, props, train=False)
+    assert jax.tree.map(lambda a: a.shape, uvars) == \
+        jax.tree.map(lambda a: a.shape, variables)
