@@ -221,3 +221,19 @@ def test_detector_scan_unroll_is_exact(tiny_detector):
     uvars = umodel.init(jax.random.PRNGKey(0), rgb, props, train=False)
     assert jax.tree.map(lambda a: a.shape, uvars) == \
         jax.tree.map(lambda a: a.shape, variables)
+
+
+def test_all_presets_construct_and_validate():
+    """Every BASELINE config preset constructs (StepConfig.__post_init__
+    runs its invariant checks) with coherent step/threshold shapes."""
+    from step_tpu.config import PRESETS
+    assert set(PRESETS) == {"pr1_ref", "ucf_3step", "ava_3step",
+                            "streaming", "two_stream_train"}
+    for name, cfg in PRESETS.items():
+        assert len(cfg.iou_thresholds) >= cfg.num_steps, name
+        assert len(cfg.step_loss_weights) >= cfg.num_steps, name
+        assert cfg.total_frames == cfg.frames_per_chunk * cfg.num_chunks, name
+        assert cfg.max_proposals >= cfg.num_proposals, name
+    assert PRESETS["pr1_ref"].num_steps == 1
+    assert PRESETS["ava_3step"].multilabel
+    assert PRESETS["two_stream_train"].two_stream
