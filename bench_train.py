@@ -15,6 +15,7 @@ in-memory synthetic dataset and reports its flush-windowed average — the
 number users see in training logs.
 """
 
+import argparse
 import json
 import os
 import tempfile
@@ -55,7 +56,13 @@ def make_batches(cfg, n, seed=0):
 
 
 def main():
-    cfg = PRESETS["ucf_3step"].replace(batch_size=BATCH)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--unroll", action="store_true",
+                    help="time the scan_unroll=True lowering of the train "
+                         "step (identical math; A/B vs the rolled scan)")
+    args = ap.parse_args()
+    cfg = PRESETS["ucf_3step"].replace(batch_size=BATCH,
+                                       scan_unroll=args.unroll)
     from step_tpu.parallel.mesh import create_mesh, replicated_sharding
     from step_tpu.parallel.distributed import make_global_batch
     from step_tpu.train.trainer import (create_train_state,
@@ -94,36 +101,24 @@ def main():
     dt = float(np.mean(times[2:]))
     clips_per_sec = cfg.batch_size / dt
 
-    # ---- MFU from XLA cost analysis (scan-body correction, estimate) ----
+    # ---- MFU from XLA cost analysis (exact: unrolled lowering) ----
+    # cost_analysis counts a scanned body once regardless of trip count, so
+    # the FLOP denominator comes from a scan_unroll=True lowering of the
+    # same train step (identical math — tests/test_models.py) which counts
+    # every refinement step's fwd AND bwd exactly. Replaces the former
+    # (S-1)x3x-tail correction estimate. Compile is cached; nothing timed
+    # here.
     mfu = None
     try:
-        cost = pstep.lower(state, dev_batches[0], rng).compile().cost_analysis()
+        if cfg.scan_unroll:
+            upstep = pstep
+        else:
+            ucfg = cfg.replace(scan_unroll=True)
+            upstep = make_parallel_train_step(ucfg, STEPDetector(ucfg), mesh)
+        cost = upstep.lower(state, dev_batches[0], rng).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
-        if flops > 0 and cfg.num_steps > 1:
-            from step_tpu.models.i3d import I3DTail
-
-            tail = I3DTail(depth=cfg.backbone_depth,
-                           dtype=jnp.dtype(cfg.compute_dtype))
-            Tp = (cfg.total_frames + 3) // 4
-            cdt = jnp.dtype(cfg.compute_dtype)
-            rows = cfg.active_proposals if cfg.head_compact else cfg.max_proposals
-            pooled = jax.ShapeDtypeStruct(
-                (cfg.batch_size * rows, Tp, cfg.pooled_size, cfg.pooled_size,
-                 832), cdt)
-            tvars = jax.eval_shape(
-                tail.init, jax.random.PRNGKey(0),
-                jax.ShapeDtypeStruct((1, Tp, cfg.pooled_size, cfg.pooled_size,
-                                      832), cdt))
-            tc = (jax.jit(tail.apply).lower(tvars, pooled).compile()
-                  .cost_analysis())
-            if isinstance(tc, (list, tuple)):
-                tc = tc[0]
-            # XLA counts each scanned body once; re-add (S-1) extra tail
-            # passes for forward AND backward (bwd ~ 2x fwd conv FLOPs) —
-            # an estimate, so the reported MFU is approximate.
-            flops += (cfg.num_steps - 1) * 3.0 * float(tc.get("flops", 0.0))
         if flops > 0:
             mfu = flops / dt / PEAK_BF16_FLOPS
     except Exception:
@@ -176,6 +171,7 @@ def main():
         "fit_clips_per_sec_no_prefetch": (round(fit_cps_nopf, 2)
                                           if fit_cps_nopf else None),
         "batch": cfg.batch_size,
+        "scan_unroll": cfg.scan_unroll,
         "compile_s": round(compile_s, 1),
         "config": "ucf_3step train (3 steps, 18 frames, 224px, I3D, AdamW)",
         "device": str(jax.devices()[0]),
