@@ -128,6 +128,41 @@ def main():
             mfu = flops / dt / PEAK_BF16_FLOPS
     except Exception:
         pass
+    if mfu is None:
+        # Fallback (e.g. the unrolled compile failed): the former estimate —
+        # rolled-program FLOPs + (S-1) x a standalone I3DTail lowering at
+        # the pooled-tube shape. Undercounts per-step heads/ROI ~5%.
+        try:
+            cost = (detect.lower(variables, rgb, proposals, prop_mask)
+                    .compile().cost_analysis())
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0))
+            if flops > 0 and cfg.num_steps > 1:
+                from step_tpu.models.i3d import I3DTail
+
+                tail = I3DTail(depth=cfg.backbone_depth,
+                               dtype=jnp.dtype(cfg.compute_dtype))
+                Tp = (cfg.total_frames + 3) // 4  # stem temporal stride 4
+                cdt = jnp.dtype(cfg.compute_dtype)
+                rows = (cfg.active_proposals if cfg.head_compact
+                        else cfg.max_proposals)
+                pooled = jax.ShapeDtypeStruct(
+                    (BATCH * rows, Tp, cfg.pooled_size, cfg.pooled_size, 832),
+                    cdt)
+                tvars = jax.eval_shape(
+                    tail.init, jax.random.PRNGKey(0),
+                    jax.ShapeDtypeStruct(
+                        (1, Tp, cfg.pooled_size, cfg.pooled_size, 832), cdt))
+                tc = (jax.jit(tail.apply).lower(tvars, pooled).compile()
+                      .cost_analysis())
+                if isinstance(tc, (list, tuple)):
+                    tc = tc[0]
+                flops += (cfg.num_steps - 1) * float(tc.get("flops", 0.0))
+            if flops > 0:
+                mfu = flops / dt / PEAK_BF16_FLOPS
+        except Exception:
+            pass
 
     # ---- p50 latency proxy (batch 1, chained mean) ----
     rgb1, props1, pmask1 = rgb[:1], proposals[:1], prop_mask[:1]
