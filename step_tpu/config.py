@@ -198,6 +198,19 @@ class StepConfig:
     # SSD-style hard-negative mining for the softmax cls loss: keep the
     # neg_pos_ratio hardest negatives per positive (0 disables → plain mean).
     neg_pos_ratio: float = 3.0
+    # Multilabel (sigmoid) cls loss: RetinaNet-style focal modulation +
+    # sum-over-(P,C)/num_positives normalization. Plain mean BCE (the
+    # reference's shape) dilutes the 1-2 positives by P*C terms — at 60
+    # classes the all-zeros predictor nearly minimizes it and held-out mAP
+    # collapses to 0 (measured, VALIDATION.md round 3). focal_gamma=0 falls
+    # back to plain BCE with the same positive normalization.
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
+    # Prior detection probability for the multilabel cls-head bias init
+    # (b = logit(cls_prior)) so the initial loss isn't dominated by the
+    # P*C-term negative flood (RetinaNet §4.1 trick). Softmax heads keep
+    # zero-init bias.
+    cls_prior: float = 0.01
     learning_rate: float = 1e-3
     weight_decay: float = 1e-4
     warmup_steps: int = 500

@@ -27,6 +27,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+import numpy as np
 
 from step_tpu.config import StepConfig
 from step_tpu.models.nets import FeatureNet, ContextNet, TwoBranchHead
@@ -110,6 +111,10 @@ class _StepBody(nn.Module):
             fused_inception=cfg.fused_inception,
             conv_impl=cfg.conv3d_impl,
             reg_head=cfg.reg_head,
+            cls_bias_init=(
+                float(np.log(cfg.cls_prior / (1.0 - cfg.cls_prior)))
+                if cfg.multilabel else 0.0
+            ),
             dtype=jnp.dtype(cfg.compute_dtype),
             name="head",
         )

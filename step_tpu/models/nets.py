@@ -121,6 +121,10 @@ class TwoBranchHead(nn.Module):
     #   tube feature to all 4*T per-frame deltas (``TwoBranchNet``'s 4·T FC
     #   (recon)). Kept for the parity A/B (VALIDATION.md).
     reg_head: str = "grid"
+    # Classification-bias init. Multilabel (sigmoid) heads set this to
+    # logit(cls_prior) (RetinaNet prior init) so training doesn't start in
+    # the negative-flood regime of the focal loss; softmax heads keep 0.
+    cls_bias_init: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -144,7 +148,10 @@ class TwoBranchHead(nn.Module):
         if ctx is not None:
             cls_feat = jnp.concatenate([cls_feat, ctx.astype(cls_feat.dtype)], axis=-1)
         cls_feat = nn.Dropout(self.dropout_rate, deterministic=not train)(cls_feat)
-        cls_logits = nn.Dense(self.num_cls_outputs, dtype=self.dtype, name="cls")(cls_feat)
+        cls_logits = nn.Dense(
+            self.num_cls_outputs, dtype=self.dtype, name="cls",
+            bias_init=nn.initializers.constant(self.cls_bias_init),
+        )(cls_feat)
 
         # ---- regression branch (per-frame deltas) ----
         if self.reg_head == "frame_fc":

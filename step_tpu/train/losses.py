@@ -104,16 +104,33 @@ def _cls_loss_softmax(cls_logits, best_gt, positive, gt_labels, prop_mask,
     return total / jnp.maximum(num_pos + jnp.sum(keep_neg), EPS)
 
 
-def _cls_loss_sigmoid(cls_logits, best_gt, positive, gt_labels, prop_mask):
-    """AVA-style: per-class BCE; positives take their GT multi-hot vector,
-    negatives an all-zero target. gt_labels: [G, C] multi-hot float."""
+def _cls_loss_sigmoid(cls_logits, best_gt, positive, gt_labels, prop_mask,
+                      focal_gamma: float = 2.0, focal_alpha: float = 0.25):
+    """AVA-style: per-class sigmoid BCE; positives take their GT multi-hot
+    vector, negatives an all-zero target. gt_labels: [G, C] multi-hot float.
+
+    Focal modulation + positive normalization (RetinaNet): plain
+    mean-over-(P,C) BCE lets the all-zeros predictor nearly minimize the
+    loss once C is large (at C=60 the 1-2 positive terms are diluted by
+    P*C=660 — measured mAP collapse to 0.0 on the synthetic oracle,
+    VALIDATION.md round 3). Loss = sum over (P, C) of (optionally focal)
+    BCE, divided by the number of positive proposals (clamped to 1), the
+    standard dense-sigmoid-detection normalization. focal_gamma=0 disables
+    the modulation but keeps the normalization.
+    """
     target = jnp.take(gt_labels, best_gt, axis=0)            # [P, C]
     target = target * positive[:, None]
     bce = jnp.maximum(cls_logits, 0) - cls_logits * target + jnp.log1p(
         jnp.exp(-jnp.abs(cls_logits))
     )
-    per_prop = jnp.mean(bce, axis=-1)
-    return jnp.sum(per_prop * prop_mask) / jnp.maximum(jnp.sum(prop_mask), EPS)
+    if focal_gamma > 0:
+        p = jax.nn.sigmoid(cls_logits)
+        p_t = p * target + (1.0 - p) * (1.0 - target)
+        alpha_t = focal_alpha * target + (1.0 - focal_alpha) * (1.0 - target)
+        bce = alpha_t * jnp.power(1.0 - p_t, focal_gamma) * bce
+    per_prop = jnp.sum(bce, axis=-1)                         # [P]
+    num_pos = jnp.maximum(jnp.sum(positive * prop_mask), 1.0)
+    return jnp.sum(per_prop * prop_mask) / num_pos
 
 
 def _reg_loss(deltas, proposals, best_gt, positive, gt_tubes, frame_mask,
@@ -146,7 +163,10 @@ def step_losses(
     weights = jnp.asarray(cfg.step_loss_weights[:S], jnp.float32)
 
     if cfg.multilabel:
-        cls_fn = _cls_loss_sigmoid
+        cls_fn = functools.partial(
+            _cls_loss_sigmoid, focal_gamma=cfg.focal_gamma,
+            focal_alpha=cfg.focal_alpha,
+        )
     else:
         cls_fn = functools.partial(
             _cls_loss_softmax, neg_pos_ratio=cfg.neg_pos_ratio

@@ -215,3 +215,61 @@ def test_flow_stream_detector_trains():
     state2, metrics = train_step(state, batch, jax.random.PRNGKey(1), cfg, model)
     assert np.isfinite(float(metrics["loss"]))
     assert int(state2.step) == 1
+
+
+def test_sigmoid_focal_loss_not_diluted_by_class_count():
+    """The multilabel cls loss must punish the all-negative (collapsed)
+    predictor more than a correct one, with a margin that does NOT vanish
+    as C grows — plain mean-over-(P,C) BCE fails this at C=60 (measured
+    mAP-0.0 collapse on the synthetic oracle, round 3)."""
+    from step_tpu.train.losses import _cls_loss_sigmoid
+
+    P, C = 11, 60
+    rng = np.random.RandomState(0)
+    positive = jnp.zeros((P,)).at[3].set(1.0)
+    best_gt = jnp.zeros((P,), jnp.int32)
+    gt_labels = jnp.zeros((1, C)).at[0, 7].set(1.0)   # one GT, class 7
+    prop_mask = jnp.ones((P,))
+
+    collapsed = jnp.full((P, C), -8.0)                 # sigmoid ~ 0 for all
+    correct = jnp.full((P, C), -8.0).at[3, 7].set(8.0)
+    l_collapsed = float(_cls_loss_sigmoid(collapsed, best_gt, positive,
+                                          gt_labels, prop_mask))
+    l_correct = float(_cls_loss_sigmoid(correct, best_gt, positive,
+                                        gt_labels, prop_mask))
+    # collapsed pays ~ a full positive focal-BCE term; correct pays ~0
+    assert l_collapsed > l_correct + 1.0, (l_collapsed, l_correct)
+
+    # gradient on the positive logit is not diluted by 1/C: at least ~alpha
+    g = jax.grad(lambda x: _cls_loss_sigmoid(x, best_gt, positive, gt_labels,
+                                             prop_mask))(collapsed)
+    assert abs(float(g[3, 7])) > 0.2, float(g[3, 7])
+
+    # focal_gamma=0 falls back to plain BCE but keeps positive normalization
+    l0 = float(_cls_loss_sigmoid(collapsed, best_gt, positive, gt_labels,
+                                 prop_mask, focal_gamma=0.0))
+    assert np.isfinite(l0) and l0 > l_collapsed  # no modulation -> bigger
+
+
+def test_multilabel_cls_head_prior_bias_init():
+    """Multilabel detectors init the cls-head bias at logit(cls_prior) so
+    initial sigmoid scores sit at the detection prior, not 0.5."""
+    cfg = CFG.replace(multilabel=True, num_classes=6, cls_prior=0.01)
+    model = STEPDetector(cfg)
+    raw = make_batch(0, 1, SyntheticConfig(image_size=32, num_frames=4,
+                                           num_classes=6, max_boxes=2))
+    b = build_model_batch(raw, cfg, train=True, seed=0)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.asarray(b["rgb"]),
+        jnp.asarray(b["proposals"]))
+    bias = np.asarray(
+        variables["params"]["steps"]["head"]["cls"]["bias"])
+    expected = float(np.log(0.01 / 0.99))
+    np.testing.assert_allclose(bias, expected, rtol=1e-5)
+    # softmax config keeps zero bias
+    model_sm = STEPDetector(CFG)
+    v2 = jax.jit(model_sm.init)(
+        jax.random.PRNGKey(0), jnp.asarray(b["rgb"]),
+        jnp.asarray(b["proposals"]))
+    assert np.all(np.asarray(
+        v2["params"]["steps"]["head"]["cls"]["bias"]) == 0.0)
