@@ -36,6 +36,12 @@ def parse_args():
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--set", dest="overrides", default=None,
                    help="comma-separated cfg overrides, e.g. reg_head=frame_fc")
+    p.add_argument("--video-eval", type=int, default=0,
+                   help="also evaluate held-out VIDEO-mAP on this many "
+                        "synthetic long videos via BOTH linkers (host "
+                        "greedy + on-device K-tube)")
+    p.add_argument("--video-windows", type=int, default=11,
+                   help="sliding windows per long video (stride = one chunk)")
     return p.parse_args()
 
 
@@ -144,6 +150,38 @@ def main():
 
     m50 = frame_map(detections, frame_gt, cfg.num_classes, 0.5)["mAP"]
     m20 = frame_map(detections, frame_gt, cfg.num_classes, 0.2)["mAP"]
+
+    # ---- held-out VIDEO-mAP over synthetic long videos (both linkers) ----
+    video_metrics = {}
+    if args.video_eval > 0:
+        from step_tpu.data.synthetic import SyntheticVideoDataset
+        from step_tpu.eval.detection_metrics import video_map
+        from step_tpu.evaluate import (collect_detections, collect_video_tubes,
+                                       dedupe_frame_detections,
+                                       link_frame_detections)
+
+        W, T, fpc = args.video_windows, cfg.total_frames, cfg.frames_per_chunk
+        vds = SyntheticVideoDataset(
+            SyntheticConfig(image_size=cfg.image_size,
+                            num_frames=(W - 1) * fpc + T,
+                            num_classes=cfg.num_classes,
+                            max_boxes=cfg.max_gt_tubes),
+            num_videos=args.video_eval, num_windows=W, window_frames=T,
+            stride=fpc, seed=20_000_000)
+        gt = vds.video_gt()
+        # host path: per-frame detections → greedy temporal linking
+        dets = collect_detections(variables, vds, cfg, model,
+                                  batch_size=args.eval_batch,
+                                  image_scale_to_gt=False)
+        host_tubes = link_frame_detections(dedupe_frame_detections(dets))
+        # device path: on-device K-tube Viterbi linking with temporal trim
+        dev_tubes = collect_video_tubes(variables, vds, cfg, model,
+                                        image_scale_to_gt=False)
+        for name, tubes in (("host", host_tubes), ("device", dev_tubes)):
+            for thr in (0.2, 0.5):
+                v = video_map(tubes, gt, cfg.num_classes, thr)["mAP"]
+                video_metrics[f"video_mAP@{thr}_{name}"] = round(float(v), 4)
+
     print(json.dumps({
         "tag": args.tag,
         "overrides": args.overrides,
@@ -153,6 +191,7 @@ def main():
         "num_classes": cfg.num_classes,
         "frame_mAP@0.5": round(float(m50), 4),
         "frame_mAP@0.2": round(float(m20), 4),
+        **video_metrics,
         "loss_curve": losses,
         "train_s": round(train_s, 1),
         "device": str(jax.devices()[0]),

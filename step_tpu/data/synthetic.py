@@ -130,3 +130,72 @@ def make_batch(seed: int, batch_size: int, cfg: SyntheticConfig = SyntheticConfi
     """Stack `batch_size` clips (seeds seed..seed+B-1) into one batch dict."""
     clips = [make_clip(seed + i, cfg) for i in range(batch_size)]
     return {k: np.stack([c[k] for c in clips]) for k in clips[0]}
+
+
+class SyntheticVideoDataset:
+    """Sliding-window dataset over synthetic LONG videos — the oracle analog
+    of the UCF video protocol (``data/customize.py`` video sampling (recon)).
+
+    Each of `num_videos` videos is one long `make_clip` of
+    `(num_windows-1) * stride + window_frames` frames (linear motion holds
+    over the whole video, so cross-clip linking has exact GT). Samples are
+    sliding windows of `window_frames` at `stride` (= frames_per_chunk for
+    the streaming protocol, so consecutive windows' central chunks tile the
+    video — what `evaluate.collect_video_tubes` assumes). Satisfies the
+    DataLoader protocol (`__len__`, `__getitem__` → rgb/gt_*/meta keys) and
+    the video-eval protocol (`.samples`; no `.resolution` → boxes stay in
+    model coordinates).
+    """
+
+    def __init__(self, syn: SyntheticConfig, num_videos: int,
+                 num_windows: int, window_frames: int, stride: int,
+                 seed: int = 0):
+        if syn.num_frames != (num_windows - 1) * stride + window_frames:
+            raise ValueError(
+                "syn.num_frames must equal (num_windows-1)*stride + "
+                f"window_frames; got {syn.num_frames} vs "
+                f"{(num_windows - 1) * stride + window_frames}")
+        self.syn = syn
+        self.num_videos = num_videos
+        self.num_windows = num_windows
+        self.window_frames = window_frames
+        self.stride = stride
+        self.seed = seed
+        self.samples = [(f"synth_{v:04d}", w)
+                        for v in range(num_videos) for w in range(num_windows)]
+        self._cache: dict = {}
+
+    def __len__(self):
+        return len(self.samples)
+
+    def _video(self, v: int) -> dict:
+        if v not in self._cache:
+            self._cache[v] = make_clip(self.seed + v, self.syn)
+        return self._cache[v]
+
+    def video_gt(self):
+        """Full-video GT tubes: [(video, class, {frame(1-based): box})]."""
+        out = []
+        for v in range(self.num_videos):
+            clip = self._video(v)
+            for g in range(clip["gt_mask"].shape[0]):
+                if clip["gt_mask"][g] <= 0:
+                    continue
+                frames = {f + 1: clip["gt_tubes"][g, f]
+                          for f in range(self.syn.num_frames)}
+                out.append((f"synth_{v:04d}", int(clip["gt_labels"][g]), frames))
+        return out
+
+    def __getitem__(self, i: int):
+        video, w = self.samples[i]
+        v = int(video.split("_")[1])
+        clip = self._video(v)
+        s, T = w * self.stride, self.window_frames
+        return {
+            "rgb": clip["rgb"][s : s + T],
+            "gt_tubes": clip["gt_tubes"][:, s : s + T],
+            "gt_labels": clip["gt_labels"],
+            "gt_mask": clip["gt_mask"],
+            "video": video,
+            "frame_indices": np.arange(s, s + T),
+        }

@@ -99,3 +99,54 @@ def test_stream_batched_matches_per_clip():
     np.testing.assert_allclose(np.asarray(out["tube_scores"][4:5]),
                                np.asarray(ref_last["tube_scores"]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_synthetic_video_dataset_protocol():
+    """The sliding-window adapter: windows tile the long video at one-chunk
+    stride, GT windows agree with full-video GT, and both video-eval
+    drivers (host greedy + on-device K-tube linker) run end-to-end on it."""
+    from step_tpu.data.synthetic import SyntheticConfig, SyntheticVideoDataset
+    from step_tpu.eval.detection_metrics import video_map
+    from step_tpu.evaluate import (collect_detections, collect_video_tubes,
+                                   dedupe_frame_detections,
+                                   link_frame_detections)
+
+    cfg = CFG.replace(score_thresh=0.0)   # untrained model: keep everything
+    T, fpc, W = cfg.total_frames, cfg.frames_per_chunk, 4
+    syn = SyntheticConfig(image_size=32, num_frames=(W - 1) * fpc + T,
+                          num_classes=cfg.num_classes, max_boxes=2)
+    vds = SyntheticVideoDataset(syn, num_videos=2, num_windows=W,
+                                window_frames=T, stride=fpc, seed=7)
+    assert len(vds) == 2 * W
+    # window w of video v slices frames [w*fpc, w*fpc+T)
+    item = vds[W + 1]                     # video 1, window 1
+    np.testing.assert_array_equal(item["frame_indices"],
+                                  np.arange(fpc, fpc + T))
+    clip = vds._video(1)
+    np.testing.assert_array_equal(item["rgb"], clip["rgb"][fpc:fpc + T])
+    np.testing.assert_array_equal(item["gt_tubes"],
+                                  clip["gt_tubes"][:, fpc:fpc + T])
+    # full-video GT covers every frame, 1-based
+    gt = vds.video_gt()
+    assert all(set(frames) == set(range(1, syn.num_frames + 1))
+               for _, _, frames in gt)
+    # wrong num_frames is rejected
+    import pytest
+    with pytest.raises(ValueError):
+        SyntheticVideoDataset(SyntheticConfig(num_frames=5), 1, W, T, fpc)
+
+    model = STEPDetector(cfg)
+    variables = init_detector_cpu(cfg, jax.random.PRNGKey(0), model)
+    dets = collect_detections(variables, vds, cfg, model, batch_size=4,
+                              image_scale_to_gt=False)
+    assert dets, "score_thresh=0 must yield detections"
+    host = link_frame_detections(dedupe_frame_detections(dets))
+    dev = collect_video_tubes(variables, vds, cfg, model,
+                              image_scale_to_gt=False)
+    for tubes in (host, dev):
+        for vid, c, score, frames in tubes:
+            assert vid.startswith("synth_") and 0 <= c < cfg.num_classes
+            assert np.isfinite(score)
+            assert all(1 <= f <= syn.num_frames for f in frames)
+        m = video_map(tubes, gt, cfg.num_classes, 0.2)
+        assert np.isfinite(m["mAP"])
