@@ -60,8 +60,10 @@ def main():
     ap.add_argument("--unroll", action="store_true",
                     help="time the scan_unroll=True lowering of the train "
                          "step (identical math; A/B vs the rolled scan)")
+    ap.add_argument("--batch", type=int, default=BATCH,
+                    help="train batch size (default %(default)s)")
     args = ap.parse_args()
-    cfg = PRESETS["ucf_3step"].replace(batch_size=BATCH,
+    cfg = PRESETS["ucf_3step"].replace(batch_size=args.batch,
                                        scan_unroll=args.unroll)
     from step_tpu.parallel.mesh import create_mesh, replicated_sharding
     from step_tpu.parallel.distributed import make_global_batch

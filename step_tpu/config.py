@@ -216,6 +216,13 @@ class StepConfig:
     warmup_steps: int = 500
     total_steps: int = 20000
     dropout_rate: float = 0.3
+    # Rematerialize the per-step refinement body during training
+    # (jax.checkpoint via flax lifted remat): backward recomputes each
+    # step's tail/head activations instead of storing S copies — trades
+    # ~1 extra step-forward of FLOPs for the dominant per-step activation
+    # memory. Enables larger train batches when HBM-bound. Math identical
+    # (gradient-equivalence tested).
+    remat_steps: bool = False
     # Jittered-GT proposals appended during training. Default OFF: when the
     # jittered copies exist they absorb every positive match, the 11 cuboids
     # (the only proposals inference ever sees) train as pure background, and

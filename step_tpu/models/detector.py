@@ -187,8 +187,16 @@ class STEPDetector(nn.Module):
         if cfg.use_context:
             ctx = ContextNet(dtype=dtype, name="context")(feat, train)
 
+        # Optional rematerialization of the per-step body (jax.checkpoint
+        # through flax's lifted remat): the backward pass recomputes each
+        # step's tail/head activations instead of storing S copies — the
+        # standard TPU HBM-for-FLOPs trade for scanned layers. prevent_cse
+        # is safe to disable inside scan (XLA cannot CSE across iterations).
+        Body = _StepBody
+        if cfg.remat_steps and train:
+            Body = nn.remat(_StepBody, prevent_cse=False)
         Loop = nn.scan(
-            _StepBody,
+            Body,
             variable_axes={"params": 0, "batch_stats": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=0,

@@ -273,3 +273,32 @@ def test_multilabel_cls_head_prior_bias_init():
         jnp.asarray(b["proposals"]))
     assert np.all(np.asarray(
         v2["params"]["steps"]["head"]["cls"]["bias"]) == 0.0)
+
+
+def test_remat_steps_gradient_equivalence():
+    """cfg.remat_steps recomputes per-step activations in backward; the
+    loss and gradients must be bit-comparable to the non-remat program."""
+    import functools
+    from step_tpu.train.trainer import train_step as _ts
+
+    b = build_model_batch(make_batch(0, 2, SYN), CFG, train=True, seed=0)
+    batch = {k: jnp.asarray(v) for k, v in b.items() if k != "meta"}
+    rng = jax.random.PRNGKey(1)
+
+    results = {}
+    for remat in (False, True):
+        cfg = CFG.replace(remat_steps=remat)
+        model = STEPDetector(cfg)
+        state = create_train_state(cfg, jax.random.PRNGKey(0), model)
+        step = jax.jit(functools.partial(_ts, cfg=cfg, model=model))
+        new_state, m = step(state, batch, rng)
+        results[remat] = (float(m["loss"]), float(m["grad_norm"]),
+                          new_state.params)
+    np.testing.assert_allclose(results[False][0], results[True][0],
+                               rtol=1e-6)
+    np.testing.assert_allclose(results[False][1], results[True][1],
+                               rtol=1e-5)
+    jax.tree.map(
+        lambda a, b_: np.testing.assert_allclose(np.asarray(a),
+                                                 np.asarray(b_), atol=1e-6),
+        results[False][2], results[True][2])
