@@ -62,9 +62,13 @@ def main():
                          "step (identical math; A/B vs the rolled scan)")
     ap.add_argument("--batch", type=int, default=BATCH,
                     help="train batch size (default %(default)s)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize the refinement scan body "
+                         "(cfg.remat_steps) — trades FLOPs for HBM")
     args = ap.parse_args()
     cfg = PRESETS["ucf_3step"].replace(batch_size=args.batch,
-                                       scan_unroll=args.unroll)
+                                       scan_unroll=args.unroll,
+                                       remat_steps=args.remat)
     from step_tpu.parallel.mesh import create_mesh, replicated_sharding
     from step_tpu.parallel.distributed import make_global_batch
     from step_tpu.train.trainer import (create_train_state,
@@ -174,6 +178,7 @@ def main():
                                           if fit_cps_nopf else None),
         "batch": cfg.batch_size,
         "scan_unroll": cfg.scan_unroll,
+        "remat_steps": cfg.remat_steps,
         "compile_s": round(compile_s, 1),
         "config": "ucf_3step train (3 steps, 18 frames, 224px, I3D, AdamW)",
         "device": str(jax.devices()[0]),
