@@ -52,9 +52,10 @@ def _video_dirs(root):
     return subdirs if subdirs else [root]
 
 
-def _load_clips(frames_dir, cfg, batch_size):
+def _load_clips(frames_dir, cfg):
     """Frame JPEGs → [L, T, S, S, 3] float clips (pad tail by repetition) +
-    per-clip frame index lists."""
+    per-clip frame index lists (-1 marks padded positions — drop, don't
+    emit duplicate detections for the final frame)."""
     import cv2
     import numpy as np
 
@@ -73,7 +74,8 @@ def _load_clips(frames_dir, cfg, batch_size):
     pad = L * T - F
     frames = np.stack(frames + [frames[-1]] * pad)
     clips = frames.reshape(L, T, S, S, 3)
-    idx = np.arange(L * T).reshape(L, T).clip(0, F - 1)
+    idx = np.arange(L * T).reshape(L, T)
+    idx[idx >= F] = -1
     return clips, idx
 
 
@@ -114,7 +116,7 @@ def main():
     detections = []
     for vdir in _video_dirs(args.frames_dir):
         video = os.path.basename(vdir.rstrip("/"))
-        clips, idx = _load_clips(vdir, cfg, B)
+        clips, idx = _load_clips(vdir, cfg)
         L = clips.shape[0]
         for s in range(0, L, B):
             chunk = clips[s : s + B]
@@ -130,8 +132,11 @@ def main():
             for b in range(n):
                 keep = np.argwhere((mask[b] > 0) & (scores[b] > cfg.score_thresh))
                 for t, c, k in keep:
+                    fi = int(idx[s + b, t])
+                    if fi < 0:  # repeated-tail padding, not a real frame
+                        continue
                     detections.append((
-                        (video, int(idx[s + b, t]) + 1), int(c),
+                        (video, fi + 1), int(c),
                         float(scores[b, t, c, k]), boxes[b, t, c, k]))
         print(f"{video}: {L} clips served", flush=True)
 

@@ -125,9 +125,10 @@ def build_model_batch(
     if "flow" in raw:
         if emit_uint8:
             # flow analog of the rgb uint8 path: JPEG-sourced flow is
-            # quantized at 1/127.5 already, so int8 wire format is lossless
-            # and 4x cheaper to ship (dequantized on device —
-            # preprocess.device_preprocess_flow)
+            # already quantized at 1/127.5, so the int8 wire format is
+            # near-lossless (round() costs ≤1/254 of the [-1,1] range; u8
+            # levels 127/128 collapse to one code) and 4x cheaper to ship
+            # (dequantized on device — preprocess.device_preprocess_flow)
             batch["flow"] = np.clip(
                 np.round(raw["flow"] * 127.0), -127, 127).astype(np.int8)
         else:

@@ -149,7 +149,7 @@ class SyntheticVideoDataset:
 
     def __init__(self, syn: SyntheticConfig, num_videos: int,
                  num_windows: int, window_frames: int, stride: int,
-                 seed: int = 0):
+                 seed: int = 0, with_flow: bool = False):
         if syn.num_frames != (num_windows - 1) * stride + window_frames:
             raise ValueError(
                 "syn.num_frames must equal (num_windows-1)*stride + "
@@ -161,6 +161,7 @@ class SyntheticVideoDataset:
         self.window_frames = window_frames
         self.stride = stride
         self.seed = seed
+        self.with_flow = with_flow
         self.samples = [(f"synth_{v:04d}", w)
                         for v in range(num_videos) for w in range(num_windows)]
         self._cache: dict = {}
@@ -170,7 +171,10 @@ class SyntheticVideoDataset:
 
     def _video(self, v: int) -> dict:
         if v not in self._cache:
-            self._cache[v] = make_clip(self.seed + v, self.syn)
+            clip = make_clip(self.seed + v, self.syn)
+            if self.with_flow:
+                clip["flow"] = make_flow(clip["rgb"])
+            self._cache[v] = clip
         return self._cache[v]
 
     def video_gt(self):
@@ -191,7 +195,7 @@ class SyntheticVideoDataset:
         v = int(video.split("_")[1])
         clip = self._video(v)
         s, T = w * self.stride, self.window_frames
-        return {
+        item = {
             "rgb": clip["rgb"][s : s + T],
             "gt_tubes": clip["gt_tubes"][:, s : s + T],
             "gt_labels": clip["gt_labels"],
@@ -199,3 +203,6 @@ class SyntheticVideoDataset:
             "video": video,
             "frame_indices": np.arange(s, s + T),
         }
+        if self.with_flow:
+            item["flow"] = clip["flow"][s : s + T]
+        return item

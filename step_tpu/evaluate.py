@@ -144,6 +144,7 @@ def collect_video_tubes(
     image_scale_to_gt: bool = True,
     clip_batch: int = 16,
     min_length: int = 2,
+    variables_flow=None,
 ):
     """Per-video ON-DEVICE K-tube linking → [(video, cls, score, {frame: box})].
 
@@ -158,6 +159,10 @@ def collect_video_tubes(
     Each clip contributes the frames of its OWN sliding window (the central
     chunk) to the assembled tube — consecutive dataset samples stride by
     exactly one chunk, so owned frames tile the video without overlap.
+
+    `variables_flow`: a second single-stream detector's variables enables
+    the late-fusion protocol on the TUBE surface (same fusion as
+    `collect_detections` — scores fuse pre-linking, boxes from RGB).
     """
     import functools
 
@@ -166,6 +171,15 @@ def collect_video_tubes(
 
     model = model or STEPDetector(cfg)
     detect = make_detect_fn(cfg, model)
+    need_flow = (cfg.two_stream or variables_flow is not None
+                 or cfg.input_stream == "flow")
+    if variables_flow is not None:
+        from step_tpu.inference import detect_clip_late_fusion
+
+        @jax.jit
+        def detect_lf(v_rgb, v_flow, rgb, proposals, prop_mask, flow):
+            return detect_clip_late_fusion(
+                v_rgb, v_flow, rgb, flow, proposals, prop_mask, cfg)
 
     @functools.partial(jax.jit, static_argnames=())
     def link_fn(tubes, scores, prop_mask, clip_mask):
@@ -185,11 +199,20 @@ def collect_video_tubes(
         if max_videos is not None and vi >= max_videos:
             break
         L = len(idxs)
-        clips, frame_ids = [], []
+        clips, flows, frame_ids = [], [], []
         for i in idxs:
             item = dataset[i]
             clips.append(item["rgb"])
             frame_ids.append(np.asarray(item["frame_indices"]))
+            if need_flow:
+                if item.get("flow") is None:
+                    raise ValueError(
+                        "two-stream/late-fusion/flow-stream device linking "
+                        "needs a flow-enabled dataset (with_flow=True)")
+                flows.append(item["flow"])
+        if cfg.input_stream == "flow" and variables_flow is None:
+            # standalone flow-stream detector: flow IS the primary input
+            clips, flows = flows, []
         # detect in fixed-size clip batches (pad by repeating the last clip)
         tubes_np, scores_np = [], []
         for s in range(0, L, clip_batch):
@@ -197,7 +220,18 @@ def collect_video_tubes(
             pad = clip_batch - len(chunk)
             batch = np.stack(chunk + [chunk[-1]] * pad)
             props, pmask = STEPDetector.initial_proposals(cfg, clip_batch)
-            det = detect(variables, jnp.asarray(batch), props, pmask)
+            if flows:
+                fchunk = flows[s : s + clip_batch]
+                fbatch = np.stack(fchunk + [fchunk[-1]] * pad)
+                if variables_flow is not None:
+                    det = detect_lf(variables, variables_flow,
+                                    jnp.asarray(batch), props, pmask,
+                                    jnp.asarray(fbatch))
+                else:
+                    det = detect(variables, jnp.asarray(batch), props, pmask,
+                                 jnp.asarray(fbatch))
+            else:
+                det = detect(variables, jnp.asarray(batch), props, pmask)
             n = len(chunk)
             tubes_np.append(np.asarray(det["tubes"])[:n])
             scores_np.append(np.asarray(det["tube_scores"])[:n])
@@ -373,8 +407,15 @@ def evaluate_ucf(
     mesh=None,
     variables_flow=None,
     device_linking: bool = False,
+    max_videos: Optional[int] = None,
 ):
     """UCF101-24-style eval: frame-mAP@0.5 + video-mAP over linked tubes.
+
+    `max_batches` bounds the frame-detection pass (clip batches);
+    `max_videos` bounds the device-linking pass (whole videos). When only
+    `max_batches` is given, device linking reuses it as a video bound so
+    smoke runs stay cheap — the two passes then cover different subsets,
+    so pass both explicitly when the numbers must be comparable.
 
     `calibration`: {'a': [C], 'b': [C]} (or a .npz path of the same) — maps
     scores through the per-class Platt sigmoid before metrics/linking.
@@ -413,9 +454,17 @@ def evaluate_ucf(
     results = {"frame_mAP@0.5": frame_map(detections, frame_gt, cfg.num_classes, 0.5)["mAP"]}
 
     if device_linking:
-        max_videos = None if max_batches is None else max_batches
+        if max_videos is None and max_batches is not None:
+            max_videos = max_batches  # keep smoke-limited runs bounded
         pred_tubes = collect_video_tubes(variables, dataset, cfg, model,
-                                         max_videos=max_videos)
+                                         max_videos=max_videos,
+                                         variables_flow=variables_flow)
+        if calibration is not None:
+            from step_tpu.eval.calibration import apply_calibration
+
+            # tube entries are (video, cls, score, frames) — same 4-tuple
+            # contract, per-class Platt applies to tube scores unchanged
+            pred_tubes = apply_calibration(pred_tubes, calibration)
         pred_tubes = tube_nms(pred_tubes, cfg.tube_nms_thresh)
     else:
         pred_tubes = tube_nms(link_frame_detections(detections),

@@ -31,6 +31,12 @@ def class_scores_from_logits(cls_logits: jnp.ndarray, cfg: StepConfig) -> jnp.nd
     return probs[..., 1:]  # drop background column
 
 
+# Survivor-selection strategy switch: one-hot MXU einsum above this many
+# [B*T*C*K] surface elements, take_along_axis gathers below. Module-level
+# so tests can force the einsum path on CPU-sized shapes (monkeypatch).
+ONEHOT_SELECT_MIN_SURFACE = 1 << 16
+
+
 def nms_surface(
     tubes: jnp.ndarray,        # [B, P, T, 4]
     scores: jnp.ndarray,       # [B, P, C] — already masked to real proposals
@@ -61,7 +67,7 @@ def nms_surface(
         )
         keep_idx = idx.reshape(B, T, C, max_keep)
         keep_mask = mask.reshape(B, T, C, max_keep)
-        if B * T * C * max_keep >= 1 << 16:
+        if B * T * C * max_keep >= ONEHOT_SELECT_MIN_SURFACE:
             # Select survivors by one-hot MATMUL, not take_along_axis: the
             # gathers on the [B*T*C*K] surface measured 25 ms/batch at
             # B=128 (8% of detect — trace r3; one-hot bench 413 → 450

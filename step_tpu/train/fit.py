@@ -27,6 +27,37 @@ from step_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
 _BATCH_KEYS = ("rgb", "flow", "proposals", "prop_mask", "gt_tubes", "gt_labels", "gt_mask")
 
 
+def _make_tb_scalar_writer(path):
+    """`scalar(tag, value, step)` writer or None. Tries tensorflow (baked
+    into the TPU image), then torch.utils.tensorboard — so the packaged
+    `tb` extra (tensorboard, no tensorflow) still produces event files."""
+    try:
+        import tensorflow as tf
+
+        w = tf.summary.create_file_writer(path)
+
+        def scalar(tag, value, step):
+            with w.as_default():
+                tf.summary.scalar(tag, value, step=step)
+
+        scalar.close = w.close
+        return scalar
+    except ImportError:
+        pass
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        w = SummaryWriter(path)
+
+        def scalar(tag, value, step):
+            w.add_scalar(tag, value, global_step=step)
+
+        scalar.close = w.close
+        return scalar
+    except ImportError:
+        return None
+
+
 class MetricsLogger:
     """Console + JSONL + optional TensorBoard metrics (reference: console
     prints + tensorboardX)."""
@@ -40,14 +71,7 @@ class MetricsLogger:
             os.makedirs(log_dir, exist_ok=True)
             self.jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
             if tensorboard:
-                try:
-                    import tensorflow as tf  # baked into the image
-
-                    self.tb = tf.summary.create_file_writer(
-                        os.path.join(log_dir, "tb")
-                    )
-                except ImportError:
-                    self.tb = None
+                self.tb = _make_tb_scalar_writer(os.path.join(log_dir, "tb"))
 
     def log(self, step: int, metrics: dict, extra: Optional[dict] = None):
         record = {"step": step}
@@ -60,15 +84,12 @@ class MetricsLogger:
             self.jsonl.write(json.dumps(record) + "\n")
             self.jsonl.flush()
         if self.tb is not None:
-            import tensorflow as tf
-
-            with self.tb.as_default():
-                for k, v in record.items():
-                    if isinstance(v, float):
-                        tf.summary.scalar(k, v, step=step)
-                    elif isinstance(v, list) and v and isinstance(v[0], float):
-                        for i, vi in enumerate(v):
-                            tf.summary.scalar(f"{k}/{i}", vi, step=step)
+            for k, v in record.items():
+                if isinstance(v, float):
+                    self.tb(k, v, step)
+                elif isinstance(v, list) and v and isinstance(v[0], float):
+                    for i, vi in enumerate(v):
+                        self.tb(f"{k}/{i}", vi, step)
         if step % self.print_every == 0:
             loss = record.get("loss", float("nan"))
             cps = record.get("clips_per_sec", 0.0)

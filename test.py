@@ -25,6 +25,9 @@ def parse_args():
     p.add_argument("--fit-calibration", default=None,
                    help="fit per-class Platt on this run and save .npz (UCF)")
     p.add_argument("--max-batches", type=int, default=None)
+    p.add_argument("--max-videos", type=int, default=None,
+                   help="bound the --device-linking pass to N whole videos "
+                        "(defaults to --max-batches when only that is set)")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--label-map", default=None,
                    help="AVA label-map pbtxt (evaluated-class whitelist)")
@@ -134,7 +137,8 @@ def main():
                                calibration=args.calibration,
                                fit_calibration_path=args.fit_calibration,
                                mesh=mesh, variables_flow=variables_flow,
-                               device_linking=args.device_linking)
+                               device_linking=args.device_linking,
+                               max_videos=args.max_videos)
     for k, v in results.items():
         print(f"{k}: {v:.4f}")
 

@@ -310,8 +310,8 @@ def test_loader_uint8_transfer_default():
 
 
 def test_loader_int8_flow_transfer():
-    """uint8_transfer ships flow as int8 (lossless for JPEG-sourced flow);
-    device_preprocess_flow dequantizes back within 1/254."""
+    """uint8_transfer ships flow as int8 (near-lossless for JPEG-sourced
+    flow); device_preprocess_flow dequantizes back within 1/254."""
     from step_tpu.data.pipeline import build_model_batch
     from step_tpu.preprocess import device_preprocess_flow
 

@@ -160,6 +160,36 @@ def test_nms_surface_pallas_matches_scan():
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
 
 
+def test_nms_surface_onehot_select_matches_gather(monkeypatch):
+    """The production B=128 serving path selects NMS survivors with a
+    one-hot einsum (surface >= ONEHOT_SELECT_MIN_SURFACE); CPU test shapes
+    never reach that threshold, so force it and assert exact agreement
+    with the take_along_axis branch."""
+    import step_tpu.inference as inf
+    from step_tpu.config import StepConfig
+
+    cfg = StepConfig(
+        dataset="synthetic", num_classes=4, frames_per_chunk=2, num_chunks=3,
+        num_steps=2, iou_thresholds=(0.4, 0.5), step_loss_weights=(1.0, 1.0),
+        image_size=32, backbone_depth="tiny", feature_stride=8,
+        max_proposals=12, max_detections=4, compute_dtype="float32",
+        nms_impl="pallas")
+    rng = np.random.RandomState(1)
+    B, P, T = 3, 12, 6
+    tubes = jnp.asarray(rng.rand(B, P, T, 4) * 30)
+    tubes = jnp.concatenate(
+        [tubes[..., :2], tubes[..., :2] + 2 + tubes[..., 2:]], -1)
+    scores = jnp.asarray(rng.rand(B, P, 4), jnp.float32)
+    mask = jnp.asarray((rng.rand(B, P) > 0.2).astype(np.float32))
+    scores = scores * mask[..., None]
+    gather = inf.nms_surface(tubes, scores, mask, cfg)
+    monkeypatch.setattr(inf, "ONEHOT_SELECT_MIN_SURFACE", 0)
+    onehot = inf.nms_surface(tubes, scores, mask, cfg)
+    for k in ("frame_boxes", "frame_scores", "frame_mask"):
+        np.testing.assert_array_equal(np.asarray(gather[k]),
+                                      np.asarray(onehot[k]))
+
+
 # ---------------------------------------------------------------- K-tube linking
 
 import pytest

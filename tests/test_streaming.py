@@ -150,3 +150,54 @@ def test_synthetic_video_dataset_protocol():
             assert all(1 <= f <= syn.num_frames for f in frames)
         m = video_map(tubes, gt, cfg.num_classes, 0.2)
         assert np.isfinite(m["mAP"])
+
+
+def test_device_linking_late_fusion_and_flow_stream():
+    """collect_video_tubes with a second flow-stream detector (late fusion
+    on the tube surface) and with a standalone flow-stream detector — the
+    combinations evaluate_ucf(device_linking=True) must not silently drop."""
+    import pytest
+
+    from step_tpu.data.synthetic import SyntheticConfig, SyntheticVideoDataset
+    from step_tpu.evaluate import collect_video_tubes
+
+    cfg = CFG.replace(score_thresh=0.0, chunk_stem=False)
+    T, fpc, W = cfg.total_frames, cfg.frames_per_chunk, 3
+    syn = SyntheticConfig(image_size=32, num_frames=(W - 1) * fpc + T,
+                          num_classes=cfg.num_classes, max_boxes=2)
+    vds = SyntheticVideoDataset(syn, num_videos=1, num_windows=W,
+                                window_frames=T, stride=fpc, seed=3,
+                                with_flow=True)
+    item = vds[1]
+    assert item["flow"].shape == (T, 32, 32, 2)
+
+    cfg_rgb = cfg.replace(two_stream=False, input_stream="rgb")
+    cfg_flow = cfg.replace(two_stream=False, input_stream="flow")
+    v_rgb = init_detector_cpu(cfg_rgb, jax.random.PRNGKey(0),
+                              STEPDetector(cfg_rgb))
+    v_flow = init_detector_cpu(cfg_flow, jax.random.PRNGKey(1),
+                               STEPDetector(cfg_flow))
+
+    # late fusion: RGB primary + flow-stream detector, fused pre-linking
+    fused = collect_video_tubes(v_rgb, vds, cfg, clip_batch=4,
+                                image_scale_to_gt=False,
+                                variables_flow=v_flow)
+    # standalone flow-stream detector: flow IS the input
+    flow_only = collect_video_tubes(v_flow, vds, cfg_flow, clip_batch=4,
+                                    image_scale_to_gt=False)
+    for tubes in (fused, flow_only):
+        for vid, c, score, frames in tubes:
+            assert vid == "synth_0000" and 0 <= c < cfg.num_classes
+            assert np.isfinite(score)
+
+    # RGB-only result differs from the fused one (flow scores moved it)
+    rgb_only = collect_video_tubes(v_rgb, vds, cfg.replace(two_stream=False),
+                                   clip_batch=4, image_scale_to_gt=False)
+    assert [s for _, _, s, _ in fused] != [s for _, _, s, _ in rgb_only]
+
+    # a flow-needing config over a flow-less dataset fails loudly
+    vds_dry = SyntheticVideoDataset(syn, num_videos=1, num_windows=W,
+                                    window_frames=T, stride=fpc, seed=3)
+    with pytest.raises(ValueError, match="flow-enabled"):
+        collect_video_tubes(v_rgb, vds_dry, cfg, clip_batch=4,
+                            image_scale_to_gt=False, variables_flow=v_flow)
