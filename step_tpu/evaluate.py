@@ -145,6 +145,7 @@ def collect_video_tubes(
     clip_batch: int = 16,
     min_length: int = 2,
     variables_flow=None,
+    mesh=None,
 ):
     """Per-video ON-DEVICE K-tube linking → [(video, cls, score, {frame: box})].
 
@@ -163,6 +164,12 @@ def collect_video_tubes(
     `variables_flow`: a second single-stream detector's variables enables
     the late-fusion protocol on the TUBE surface (same fusion as
     `collect_detections` — scores fuse pre-linking, boxes from RGB).
+
+    `mesh`: optional `jax.sharding.Mesh` — the per-video clip batches are
+    embarrassingly parallel, so they shard over the mesh's data axis
+    (`make_parallel_detect_fn`); `clip_batch` rounds up to a multiple of
+    the mesh size. The per-video LINK program stays single-device (one
+    tiny [C,K,L] Viterbi per video). Not supported with `variables_flow`.
     """
     import functools
 
@@ -170,7 +177,16 @@ def collect_video_tubes(
     from step_tpu.tubes.linking import link_tubes_multiclass_k
 
     model = model or STEPDetector(cfg)
-    detect = make_detect_fn(cfg, model)
+    if mesh is not None:
+        if variables_flow is not None:
+            raise NotImplementedError("late fusion + sharded device linking")
+        from step_tpu.inference import make_parallel_detect_fn
+
+        n_shards = int(np.prod(mesh.devices.shape))
+        clip_batch = -(-clip_batch // n_shards) * n_shards
+        detect = make_parallel_detect_fn(cfg, mesh, model)
+    else:
+        detect = make_detect_fn(cfg, model)
     need_flow = (cfg.two_stream or variables_flow is not None
                  or cfg.input_stream == "flow")
     if variables_flow is not None:
@@ -458,7 +474,8 @@ def evaluate_ucf(
             max_videos = max_batches  # keep smoke-limited runs bounded
         pred_tubes = collect_video_tubes(variables, dataset, cfg, model,
                                          max_videos=max_videos,
-                                         variables_flow=variables_flow)
+                                         variables_flow=variables_flow,
+                                         mesh=mesh)
         if calibration is not None:
             from step_tpu.eval.calibration import apply_calibration
 

@@ -201,3 +201,35 @@ def test_device_linking_late_fusion_and_flow_stream():
     with pytest.raises(ValueError, match="flow-enabled"):
         collect_video_tubes(v_rgb, vds_dry, cfg, clip_batch=4,
                             image_scale_to_gt=False, variables_flow=v_flow)
+
+
+def test_device_linking_sharded_matches_single_device():
+    """collect_video_tubes(mesh=8-device CPU mesh) reproduces the
+    single-device tubes exactly — clip batches are embarrassingly
+    parallel, so sharding must be a pure layout change."""
+    from step_tpu.data.synthetic import SyntheticConfig, SyntheticVideoDataset
+    from step_tpu.evaluate import collect_video_tubes
+    from step_tpu.parallel.mesh import create_mesh
+
+    cfg = CFG.replace(score_thresh=0.0, chunk_stem=False)
+    T, fpc, W = cfg.total_frames, cfg.frames_per_chunk, 4
+    syn = SyntheticConfig(image_size=32, num_frames=(W - 1) * fpc + T,
+                          num_classes=cfg.num_classes, max_boxes=2)
+    vds = SyntheticVideoDataset(syn, num_videos=1, num_windows=W,
+                                window_frames=T, stride=fpc, seed=11)
+    model = STEPDetector(cfg)
+    variables = init_detector_cpu(cfg, jax.random.PRNGKey(2), model)
+
+    single = collect_video_tubes(variables, vds, cfg, model, clip_batch=8,
+                                 image_scale_to_gt=False)
+    mesh = create_mesh()
+    assert mesh.devices.size == 8, "conftest provides 8 virtual devices"
+    sharded = collect_video_tubes(variables, vds, cfg, model, clip_batch=8,
+                                  image_scale_to_gt=False, mesh=mesh)
+    assert len(single) == len(sharded)
+    for (v_a, c_a, s_a, f_a), (v_b, c_b, s_b, f_b) in zip(single, sharded):
+        assert (v_a, c_a) == (v_b, c_b)
+        np.testing.assert_allclose(s_a, s_b, rtol=1e-5)
+        assert set(f_a) == set(f_b)
+        for f in f_a:
+            np.testing.assert_allclose(f_a[f], f_b[f], rtol=1e-4, atol=1e-4)
