@@ -211,6 +211,13 @@ class StepConfig:
     # P*C-term negative flood (RetinaNet §4.1 trick). Softmax heads keep
     # zero-init bias.
     cls_prior: float = 0.01
+    # Finetune policy (reference ``BaseNet.__init__`` freeze flags (recon
+    # §3.5)): top-level param subtrees named here ("features", "context",
+    # "steps") get ZERO optimizer updates, and the frozen trunk runs
+    # eval-mode BN (running averages; stats not updated) — torch's
+    # requires_grad_(False) + m.eval() finetune idiom. Default: full
+    # finetune, like the reference's published configs.
+    freeze_submodules: tuple = ()
     learning_rate: float = 1e-3
     weight_decay: float = 1e-4
     warmup_steps: int = 500

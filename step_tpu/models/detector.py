@@ -144,7 +144,9 @@ class _StepBody(nn.Module):
         return (feat, ctx, new_tubes), outputs
 
     def is_train(self) -> bool:
-        return self.has_rng("dropout")
+        # frozen refinement steps (finetune policy) run eval-mode BN/dropout
+        return (self.has_rng("dropout")
+                and "steps" not in self.cfg.freeze_submodules)
 
 
 class STEPDetector(nn.Module):
@@ -173,6 +175,11 @@ class STEPDetector(nn.Module):
             rgb = device_preprocess_flow(rgb)
         if flow is not None:
             flow = device_preprocess_flow(flow)
+        # Frozen subtrees (cfg.freeze_submodules, finetune policy) run in
+        # eval mode even during training: BN uses running averages and
+        # writes no stats — torch's requires_grad_(False)+m.eval() idiom.
+        feat_train = train and "features" not in cfg.freeze_submodules
+        ctx_train = train and "context" not in cfg.freeze_submodules
         feat = FeatureNet(two_stream=cfg.two_stream, depth=cfg.backbone_depth,
                            s2d=cfg.stem_s2d, fuse_bn_relu=cfg.fused_bn_relu,
                            bn_folded=cfg.bn_folded,
@@ -181,11 +188,12 @@ class STEPDetector(nn.Module):
                            chunk_stem=cfg.chunk_stem,
                            num_chunks=cfg.num_chunks,
                            dtype=dtype, name="features")(
-            rgb.astype(dtype), None if flow is None else flow.astype(dtype), train
+            rgb.astype(dtype), None if flow is None else flow.astype(dtype),
+            feat_train
         )
         ctx = None
         if cfg.use_context:
-            ctx = ContextNet(dtype=dtype, name="context")(feat, train)
+            ctx = ContextNet(dtype=dtype, name="context")(feat, ctx_train)
 
         # Optional rematerialization of the per-step body (jax.checkpoint
         # through flax's lifted remat): the backward pass recomputes each

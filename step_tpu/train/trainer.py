@@ -57,7 +57,18 @@ def make_optimizer(cfg: StepConfig) -> optax.GradientTransformation:
         )
     else:
         opt = optax.adamw(schedule, weight_decay=cfg.weight_decay)
-    return optax.chain(optax.clip_by_global_norm(10.0), opt)
+    opt = optax.chain(optax.clip_by_global_norm(10.0), opt)
+    if cfg.freeze_submodules:
+        # Finetune policy: frozen top-level subtrees get set_to_zero
+        # updates (optax.masked would pass their RAW gradients through
+        # unchanged — not freezing); the trainable partition runs the full
+        # chain, so the global-norm clip sees only trainable params.
+        frozen = frozenset(cfg.freeze_submodules)
+        opt = optax.multi_transform(
+            {"train": opt, "frozen": optax.set_to_zero()},
+            lambda params: {k: ("frozen" if k in frozen else "train")
+                            for k in params})
+    return opt
 
 
 def create_train_state(

@@ -302,3 +302,48 @@ def test_remat_steps_gradient_equivalence():
         lambda a, b_: np.testing.assert_allclose(np.asarray(a),
                                                  np.asarray(b_), atol=1e-6),
         results[False][2], results[True][2])
+
+
+def test_freeze_submodules_finetune_policy():
+    """cfg.freeze_submodules=('features',): the frozen trunk gets zero
+    param updates AND zero BN-stat updates (eval-mode BN), while the
+    refinement steps still train (reference BaseNet freeze flags)."""
+    cfg = CFG.replace(freeze_submodules=("features",), gt_jitter_proposals=0)
+    model = STEPDetector(cfg)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), model)
+
+    raw = make_batch(0, cfg.batch_size, SYN)
+    batch = {k: jnp.asarray(v) for k, v in
+             build_model_batch(raw, cfg, train=True, seed=0).items()
+             if k != "meta"}
+    state2 = state
+    for i in range(3):   # step past the 0-LR warmup start
+        state2, metrics = train_step(state2, batch, jax.random.PRNGKey(1),
+                                     cfg, model)
+    assert np.isfinite(float(metrics["loss"]))
+
+    # frozen: params and batch_stats bit-identical after the steps
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal,
+        state.params["features"], state2.params["features"])
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal,
+        state.batch_stats["features"], state2.batch_stats["features"])
+    # trainable: the per-step heads moved
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        state.params["steps"], state2.params["steps"])
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+    # unfrozen control: the same step DOES move the trunk
+    ctrl = CFG.replace(gt_jitter_proposals=0)
+    cmodel = STEPDetector(ctrl)
+    cstate = create_train_state(ctrl, jax.random.PRNGKey(0), cmodel)
+    cstate2 = cstate
+    for i in range(3):
+        cstate2, _ = train_step(cstate2, batch, jax.random.PRNGKey(1),
+                                ctrl, cmodel)
+    cmoved = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        cstate.params["features"], cstate2.params["features"])
+    assert max(jax.tree_util.tree_leaves(cmoved)) > 0
