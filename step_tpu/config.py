@@ -222,6 +222,13 @@ class StepConfig:
     weight_decay: float = 1e-4
     warmup_steps: int = 500
     total_steps: int = 20000
+    # LR schedule: "warmup_cosine" (TPU-native default) or "step" — the
+    # reference's torch MultiStepLR shape (``train.py`` LR milestones
+    # (recon §3.1)): constant LR with multiplicative drops at the given
+    # absolute step milestones (warmup still applies first).
+    lr_schedule: str = "warmup_cosine"
+    lr_decay_milestones: tuple = ()     # e.g. (12000, 16000)
+    lr_decay_rate: float = 0.1
     dropout_rate: float = 0.3
     # Rematerialize the per-step refinement body during training
     # (jax.checkpoint via flax lifted remat): backward recomputes each

@@ -41,15 +41,37 @@ class TrainState(struct.PyTreeNode):
         )
 
 
-def make_optimizer(cfg: StepConfig) -> optax.GradientTransformation:
-    """Warmup-cosine schedule with AdamW (default) or SGD+momentum (the
-    reference's optimizer, `cfg.optimizer="sgd"`)."""
-    schedule = optax.warmup_cosine_decay_schedule(
+def make_schedule(cfg: StepConfig) -> optax.Schedule:
+    """LR schedule per cfg.lr_schedule: warmup-cosine (default) or the
+    reference's MultiStepLR shape — linear warmup into a constant LR with
+    multiplicative `lr_decay_rate` drops at `lr_decay_milestones`."""
+    if cfg.lr_schedule == "step":
+        milestones = tuple(int(m) for m in cfg.lr_decay_milestones)
+
+        def sched(step):
+            step = jnp.asarray(step)
+            warm = (jnp.minimum(step / cfg.warmup_steps, 1.0)
+                    if cfg.warmup_steps else 1.0)
+            # milestones are ABSOLUTE steps (join_schedules would re-base
+            # them after warmup — torch MultiStepLR semantics kept instead)
+            drops = sum((step >= m).astype(jnp.float32) for m in milestones)
+            return cfg.learning_rate * warm * cfg.lr_decay_rate ** drops
+
+        return sched
+    if cfg.lr_schedule != "warmup_cosine":
+        raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+    return optax.warmup_cosine_decay_schedule(
         init_value=0.0,
         peak_value=cfg.learning_rate,
         warmup_steps=cfg.warmup_steps,
         decay_steps=max(cfg.total_steps, cfg.warmup_steps + 1),
     )
+
+
+def make_optimizer(cfg: StepConfig) -> optax.GradientTransformation:
+    """`make_schedule` with AdamW (default) or SGD+momentum (the
+    reference's optimizer, `cfg.optimizer="sgd"`)."""
+    schedule = make_schedule(cfg)
     if cfg.optimizer == "sgd":
         opt = optax.chain(
             optax.add_decayed_weights(cfg.weight_decay),

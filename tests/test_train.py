@@ -347,3 +347,37 @@ def test_freeze_submodules_finetune_policy():
         lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
         cstate.params["features"], cstate2.params["features"])
     assert max(jax.tree_util.tree_leaves(cmoved)) > 0
+
+
+def test_step_lr_schedule_multisteplr_semantics():
+    """lr_schedule='step': linear warmup, then constant LR with
+    multiplicative drops at ABSOLUTE milestone steps (torch MultiStepLR)."""
+    from step_tpu.train.trainer import make_schedule
+
+    cfg = CFG.replace(lr_schedule="step", learning_rate=0.1, warmup_steps=10,
+                      lr_decay_milestones=(100, 200), lr_decay_rate=0.1)
+    s = make_schedule(cfg)
+    np.testing.assert_allclose(float(s(0)), 0.0)
+    np.testing.assert_allclose(float(s(5)), 0.05, rtol=1e-6)
+    np.testing.assert_allclose(float(s(50)), 0.1, rtol=1e-6)
+    np.testing.assert_allclose(float(s(100)), 0.01, rtol=1e-6)   # absolute
+    np.testing.assert_allclose(float(s(150)), 0.01, rtol=1e-6)
+    np.testing.assert_allclose(float(s(250)), 0.001, rtol=1e-6)
+    # no warmup, no milestones: constant
+    s2 = make_schedule(cfg.replace(warmup_steps=0, lr_decay_milestones=()))
+    np.testing.assert_allclose(float(s2(0)), 0.1, rtol=1e-6)
+    np.testing.assert_allclose(float(s2(999)), 0.1, rtol=1e-6)
+    # the reference-shaped optimizer composes: SGD + step decay trains
+    import pytest
+    with pytest.raises(ValueError):
+        make_schedule(cfg.replace(lr_schedule="nope"))
+    cfg_sgd = cfg.replace(optimizer="sgd")
+    model = STEPDetector(cfg_sgd)
+    state = create_train_state(cfg_sgd, jax.random.PRNGKey(0), model)
+    raw = make_batch(0, cfg_sgd.batch_size, SYN)
+    batch = {k: jnp.asarray(v) for k, v in
+             build_model_batch(raw, cfg_sgd, train=True, seed=0).items()
+             if k != "meta"}
+    state2, metrics = train_step(state, batch, jax.random.PRNGKey(1),
+                                 cfg_sgd, model)
+    assert np.isfinite(float(metrics["loss"]))
