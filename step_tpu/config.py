@@ -285,6 +285,17 @@ class StepConfig:
             raise ValueError("fused_inception requires bn_folded (the merged "
                              "1x1x1 conv carries per-branch BN in its "
                              "folded weights)")
+        if isinstance(self.freeze_submodules, str):
+            # ('features') without the comma, or --set freeze_submodules=
+            # features: a plain string makes `in` a SUBSTRING test in the
+            # model and a char-set test in the optimizer — reject loudly.
+            raise ValueError("freeze_submodules must be a tuple of names, "
+                             f"got the string {self.freeze_submodules!r} — "
+                             "write ('features',)")
+        unknown = set(self.freeze_submodules) - {"features", "context", "steps"}
+        if unknown:
+            raise ValueError(f"unknown freeze_submodules {sorted(unknown)}; "
+                             "valid: features, context, steps")
 
 
 # The five BASELINE.json configs as named presets (BASELINE.json::configs).

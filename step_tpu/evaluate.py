@@ -21,7 +21,8 @@ import numpy as np
 from step_tpu.config import StepConfig
 from step_tpu.eval.ava_eval import ava_frame_map
 from step_tpu.eval.detection_metrics import frame_map, video_map, video_map_range
-from step_tpu.inference import detect_clip
+from step_tpu.inference import (FLOW_DATASET_ERROR, detect_clip,
+                                eval_needs_flow)
 from step_tpu.models.detector import STEPDetector
 
 
@@ -60,13 +61,9 @@ def collect_detections(
     if variables_flow is not None:
         if mesh is not None:
             raise NotImplementedError("late fusion + sharded eval")
-        from step_tpu.inference import detect_clip_late_fusion
+        from step_tpu.inference import make_late_fusion_detect_fn
 
-        @jax.jit
-        def detect_lf(v_rgb, v_flow, rgb, proposals, prop_mask, flow):
-            return detect_clip_late_fusion(
-                v_rgb, v_flow, rgb, flow, proposals, prop_mask, cfg)
-
+        detect_lf = make_late_fusion_detect_fn(cfg)
     elif mesh is not None:
         from step_tpu.inference import make_parallel_detect_fn, pad_batch_to
 
@@ -86,13 +83,10 @@ def collect_detections(
         rgb, props, pmask = batch["rgb"], batch["proposals"], batch["prop_mask"]
         # two-stream / late-fusion / flow-stream configs need flow; the
         # dataset must be built with with_flow=True (test.py wires this)
-        need_flow = (cfg.two_stream or variables_flow is not None
-                     or cfg.input_stream == "flow")
+        need_flow = eval_needs_flow(cfg, variables_flow)
         flow = batch.get("flow") if need_flow else None
         if need_flow and flow is None:
-            raise ValueError(
-                "two-stream/late-fusion/flow-stream eval needs a "
-                "flow-enabled dataset (UCFDataset(with_flow=True))")
+            raise ValueError(FLOW_DATASET_ERROR)
         if cfg.input_stream == "flow" and variables_flow is None:
             # a standalone flow-stream detector: flow IS the primary input
             rgb, flow = flow, None
@@ -146,6 +140,7 @@ def collect_video_tubes(
     min_length: int = 2,
     variables_flow=None,
     mesh=None,
+    calibration=None,
 ):
     """Per-video ON-DEVICE K-tube linking → [(video, cls, score, {frame: box})].
 
@@ -170,6 +165,11 @@ def collect_video_tubes(
     (`make_parallel_detect_fn`); `clip_batch` rounds up to a multiple of
     the mesh size. The per-video LINK program stays single-device (one
     tiny [C,K,L] Viterbi per video). Not supported with `variables_flow`.
+
+    `calibration`: {'a': [C], 'b': [C]} (or .npz path) — per-class Platt
+    applied to the tube-score surface BEFORE linking, so the Viterbi
+    score-vs-IoU tradeoff sees the same score scale the host greedy
+    linker gets from pre-calibrated detections.
     """
     import functools
 
@@ -177,9 +177,14 @@ def collect_video_tubes(
     from step_tpu.tubes.linking import link_tubes_multiclass_k
 
     model = model or STEPDetector(cfg)
-    if mesh is not None:
-        if variables_flow is not None:
+    need_flow = eval_needs_flow(cfg, variables_flow)
+    if variables_flow is not None:
+        if mesh is not None:
             raise NotImplementedError("late fusion + sharded device linking")
+        from step_tpu.inference import make_late_fusion_detect_fn
+
+        detect_lf = make_late_fusion_detect_fn(cfg)
+    elif mesh is not None:
         from step_tpu.inference import make_parallel_detect_fn
 
         n_shards = int(np.prod(mesh.devices.shape))
@@ -187,15 +192,14 @@ def collect_video_tubes(
         detect = make_parallel_detect_fn(cfg, mesh, model)
     else:
         detect = make_detect_fn(cfg, model)
-    need_flow = (cfg.two_stream or variables_flow is not None
-                 or cfg.input_stream == "flow")
-    if variables_flow is not None:
-        from step_tpu.inference import detect_clip_late_fusion
-
-        @jax.jit
-        def detect_lf(v_rgb, v_flow, rgb, proposals, prop_mask, flow):
-            return detect_clip_late_fusion(
-                v_rgb, v_flow, rgb, flow, proposals, prop_mask, cfg)
+    if calibration is not None:
+        # per-class Platt on the TUBE score surface, BEFORE linking — the
+        # host path links calibrated detections, so the Viterbi edge
+        # weights (score + iou_weight*IoU) must see the same score scale
+        if isinstance(calibration, str):
+            calibration = dict(np.load(calibration))
+        calib_a = np.asarray(calibration["a"], np.float32)   # [C]
+        calib_b = np.asarray(calibration["b"], np.float32)
 
     @functools.partial(jax.jit, static_argnames=())
     def link_fn(tubes, scores, prop_mask, clip_mask):
@@ -222,9 +226,7 @@ def collect_video_tubes(
             frame_ids.append(np.asarray(item["frame_indices"]))
             if need_flow:
                 if item.get("flow") is None:
-                    raise ValueError(
-                        "two-stream/late-fusion/flow-stream device linking "
-                        "needs a flow-enabled dataset (with_flow=True)")
+                    raise ValueError(FLOW_DATASET_ERROR)
                 flows.append(item["flow"])
         if cfg.input_stream == "flow" and variables_flow is None:
             # standalone flow-stream detector: flow IS the primary input
@@ -253,6 +255,9 @@ def collect_video_tubes(
             scores_np.append(np.asarray(det["tube_scores"])[:n])
         tubes = np.concatenate(tubes_np, axis=0)      # [L, P, T, 4]
         scores = np.concatenate(scores_np, axis=0)    # [L, P, C]
+        if calibration is not None:
+            z = np.clip(scores * calib_a + calib_b, -30.0, 30.0)
+            scores = 1.0 / (1.0 + np.exp(-z))
 
         # bucket the clip axis to the next power of two
         Lb = 1
@@ -472,16 +477,12 @@ def evaluate_ucf(
     if device_linking:
         if max_videos is None and max_batches is not None:
             max_videos = max_batches  # keep smoke-limited runs bounded
+        # calibration applies to the tube-score surface BEFORE linking,
+        # matching the host branch (which links calibrated detections)
         pred_tubes = collect_video_tubes(variables, dataset, cfg, model,
                                          max_videos=max_videos,
                                          variables_flow=variables_flow,
-                                         mesh=mesh)
-        if calibration is not None:
-            from step_tpu.eval.calibration import apply_calibration
-
-            # tube entries are (video, cls, score, frames) — same 4-tuple
-            # contract, per-class Platt applies to tube scores unchanged
-            pred_tubes = apply_calibration(pred_tubes, calibration)
+                                         mesh=mesh, calibration=calibration)
         pred_tubes = tube_nms(pred_tubes, cfg.tube_nms_thresh)
     else:
         pred_tubes = tube_nms(link_frame_detections(detections),

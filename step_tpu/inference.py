@@ -403,6 +403,29 @@ def detect_video_stream_batched(
     )
 
 
+FLOW_DATASET_ERROR = ("two-stream/late-fusion/flow-stream eval needs a "
+                      "flow-enabled dataset (with_flow=True)")
+
+
+def eval_needs_flow(cfg: StepConfig, variables_flow=None) -> bool:
+    """True when an eval collector must read flow from the dataset —
+    shared rule for `collect_detections` and `collect_video_tubes`."""
+    return (cfg.two_stream or variables_flow is not None
+            or cfg.input_stream == "flow")
+
+
+def make_late_fusion_detect_fn(cfg: StepConfig):
+    """jit-wrapped `detect_clip_late_fusion` closed over the config —
+    the one fusion program both eval collectors share."""
+
+    @jax.jit
+    def _detect_lf(v_rgb, v_flow, rgb, proposals, prop_mask, flow):
+        return detect_clip_late_fusion(v_rgb, v_flow, rgb, flow,
+                                       proposals, prop_mask, cfg)
+
+    return _detect_lf
+
+
 def make_detect_fn(cfg: StepConfig, model: Optional[STEPDetector] = None):
     """jit-wrapped `detect_clip` closed over the config."""
     model = model or STEPDetector(cfg)

@@ -132,7 +132,17 @@ def train_step(state: TrainState, batch: dict, rng: jax.Array,
             "UCFDataset(with_flow=True) — synthetic/AVA carry no flow)")
     primary = batch["rgb"] if cfg.input_stream == "rgb" else batch["flow"]
 
-    def loss_fn(params):
+    # Finetune policy: differentiate ONLY the trainable partition — with
+    # frozen params held as constants, XLA stops the backward pass at the
+    # frozen subtree's boundary (e.g. a frozen trunk skips the whole
+    # backbone backward, the torch requires_grad_(False) saving), instead
+    # of computing gradients that set_to_zero would discard.
+    frozen_names = frozenset(cfg.freeze_submodules)
+    frozen_params = {k: v for k, v in state.params.items()
+                     if k in frozen_names}
+
+    def loss_fn(trainable):
+        params = {**trainable, **frozen_params}
         outputs, mutated = model.apply(
             {"params": params, "batch_stats": state.batch_stats},
             primary,
@@ -152,11 +162,19 @@ def train_step(state: TrainState, batch: dict, rng: jax.Array,
         )
         return loss, (metrics, mutated["batch_stats"])
 
+    trainable = {k: v for k, v in state.params.items()
+                 if k not in frozen_names}
     (loss, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params
+        trainable
     )
+    metrics["grad_norm"] = optax.global_norm(grads)  # trainable-only norm
+    if frozen_params:
+        # shape-completing zeros for tx.update; set_to_zero never reads them
+        grads = {**grads, **jax.tree_util.tree_map(jnp.zeros_like,
+                                                   frozen_params)}
+    if isinstance(state.params, FrozenDict):
+        grads = FrozenDict(grads)  # match the params pytree type
     new_state = state.apply_gradients(grads, new_bs)
-    metrics["grad_norm"] = optax.global_norm(grads)
     return new_state, metrics
 
 

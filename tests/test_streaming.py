@@ -233,3 +233,41 @@ def test_device_linking_sharded_matches_single_device():
         assert set(f_a) == set(f_b)
         for f in f_a:
             np.testing.assert_allclose(f_a[f], f_b[f], rtol=1e-4, atol=1e-4)
+
+
+def test_device_linking_calibration_applied_before_linking():
+    """Per-class Platt calibration transforms the tube-score surface before
+    the Viterbi pass: identity calibration reproduces the uncalibrated
+    tubes; a squashing calibration changes the returned tube scores."""
+    from step_tpu.data.synthetic import SyntheticConfig, SyntheticVideoDataset
+    from step_tpu.evaluate import collect_video_tubes
+
+    cfg = CFG.replace(score_thresh=0.0, chunk_stem=False)
+    T, fpc, W = cfg.total_frames, cfg.frames_per_chunk, 3
+    syn = SyntheticConfig(image_size=32, num_frames=(W - 1) * fpc + T,
+                          num_classes=cfg.num_classes, max_boxes=2)
+    vds = SyntheticVideoDataset(syn, num_videos=1, num_windows=W,
+                                window_frames=T, stride=fpc, seed=9)
+    model = STEPDetector(cfg)
+    variables = init_detector_cpu(cfg, jax.random.PRNGKey(4), model)
+    C = cfg.num_classes
+
+    raw = collect_video_tubes(variables, vds, cfg, model, clip_batch=4,
+                              image_scale_to_gt=False)
+    # identity-shaped Platt (steep sigmoid around 0.5) keeps the ORDER of
+    # scores per class, so paths/frame sets match a plain monotone remap
+    ident = {"a": np.full((C,), 1.0, np.float32),
+             "b": np.zeros((C,), np.float32)}
+    cal = collect_video_tubes(variables, vds, cfg, model, clip_batch=4,
+                              image_scale_to_gt=False, calibration=ident)
+    assert len(raw) == len(cal)
+    for (v_a, c_a, s_a, f_a), (v_b, c_b, s_b, f_b) in zip(raw, cal):
+        assert (v_a, c_a) == (v_b, c_b)
+        assert set(f_a) == set(f_b)          # same linked paths
+        # The tube score aggregates per-clip scores along the path, and
+        # calibration transforms BEFORE aggregation — so expect
+        # mean(sigmoid(s)) ≈ sigmoid(mean(s)) up to the (small) Jensen gap,
+        # and definitely not the raw score.
+        np.testing.assert_allclose(
+            s_b, 1.0 / (1.0 + np.exp(-np.clip(s_a, -30, 30))), atol=5e-3)
+        assert abs(s_b - s_a) > 1e-3
