@@ -65,10 +65,18 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize the refinement scan body "
                          "(cfg.remat_steps) — trades FLOPs for HBM")
+    ap.add_argument("--freeze", nargs="*", default=(),
+                    help="freeze_submodules names (finetune policy) — "
+                         "measures the skipped-backward saving, e.g. "
+                         "--freeze features")
+    ap.add_argument("--skip-fit", action="store_true",
+                    help="device-step timing only (skip the fit() loop "
+                         "arms — for quick A/Bs)")
     args = ap.parse_args()
     cfg = PRESETS["ucf_3step"].replace(batch_size=args.batch,
                                        scan_unroll=args.unroll,
-                                       remat_steps=args.remat)
+                                       remat_steps=args.remat,
+                                       freeze_submodules=tuple(args.freeze))
     from step_tpu.parallel.mesh import create_mesh, replicated_sharding
     from step_tpu.parallel.distributed import make_global_batch
     from step_tpu.train.trainer import (create_train_state,
@@ -163,8 +171,11 @@ def main():
                         cps = rec["clips_per_sec"]  # last (clean) window avg
             return cps
 
-    fit_cps = run_fit(False)       # production default (prefetch_upload off)
-    fit_cps_pf = run_fit(True)
+    if args.skip_fit:
+        fit_cps = fit_cps_pf = None
+    else:
+        fit_cps = run_fit(False)   # production default (prefetch_upload off)
+        fit_cps_pf = run_fit(True)
 
     print(json.dumps({
         "metric": "train_clips_per_sec_per_chip",
@@ -179,6 +190,7 @@ def main():
         "batch": cfg.batch_size,
         "scan_unroll": cfg.scan_unroll,
         "remat_steps": cfg.remat_steps,
+        "freeze_submodules": list(cfg.freeze_submodules),
         "compile_s": round(compile_s, 1),
         "config": "ucf_3step train (3 steps, 18 frames, 224px, I3D, AdamW)",
         "device": str(jax.devices()[0]),
