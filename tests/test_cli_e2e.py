@@ -123,9 +123,15 @@ def mini_ava(tmp_path_factory):
 def test_ucf_train_then_test_cli(mini_ucf, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     logs = str(tmp_path / "logs")
-    run_cli("train.py", "--dataset", "ucf101_24", "--data-root", mini_ucf,
-            "--ckpt-dir", ckpt, "--log-dir", logs, "--epochs", "2",
-            "--set", "num_classes=2", *TINY_SET)
+    out_train = run_cli(
+        "train.py", "--dataset", "ucf101_24", "--data-root", mini_ucf,
+        "--ckpt-dir", ckpt, "--log-dir", logs, "--epochs", "2",
+        "--eval-every-epochs", "1", "--eval-max-batches", "2",
+        "--set", "num_classes=2", *TINY_SET)
+    # in-train held-out eval (--eval-every-epochs) printed finite mAPs
+    m_eval = re.search(r"epoch 0 eval: .*frame_mAP@0\.5.*?([0-9.]+)",
+                       out_train)
+    assert m_eval, out_train
     assert os.path.isdir(ckpt) and os.listdir(ckpt)
     metrics = open(os.path.join(logs, "metrics.jsonl")).read().splitlines()
     assert len(metrics) >= 1

@@ -36,6 +36,17 @@ def parse_args():
                         "from JAX_COORDINATOR_ADDRESS / pod metadata) and "
                         "shard the dataset per host")
     p.add_argument("--tiny", action="store_true", help="tiny backbone (debug)")
+    p.add_argument("--eval-every-epochs", type=int, default=0,
+                   help="held-out eval every N epochs (0 = off). "
+                        "ucf101_24 evaluates the test split's frame/video "
+                        "mAPs; ava evaluates the val CSV; for synthetic "
+                        "use scripts/train_eval_synth.py")
+    p.add_argument("--eval-max-batches", type=int, default=25,
+                   help="bound each in-train eval to N detection batches")
+    p.add_argument("--eval-annotation-file", default=None,
+                   help="annotations for --eval-every-epochs (AVA: the val "
+                        "CSV, default ava_val_v2.1.csv; UCF shares the "
+                        "GT pkl and uses its test split)")
     p.add_argument("--label-map", default=None,
                    help="AVA label-map pbtxt (evaluated-class whitelist)")
     p.add_argument("--exclusions", default=None,
@@ -113,6 +124,53 @@ def build_dataset(cfg, args):
                       with_flow=cfg.two_stream or cfg.input_stream == "flow")
 
 
+def build_eval_fn(cfg, args):
+    """Held-out eval closure for fit() (`--eval-every-epochs`): the
+    reference tracked only train losses between checkpoints; tracking
+    held-out mAP during training is standard production practice."""
+    if cfg.dataset == "ucf101_24":
+        from step_tpu.data.ucf import UCFDataset
+        from step_tpu.evaluate import evaluate_ucf
+
+        val = UCFDataset(args.data_root, cfg, split="test",
+                         annotation_file=args.eval_annotation_file
+                         or args.annotation_file or "UCF101v2-GT.pkl",
+                         with_flow=(cfg.two_stream
+                                    or cfg.input_stream == "flow"))
+
+        def eval_fn(state, epoch):
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            return evaluate_ucf(variables, val, cfg,
+                                max_batches=args.eval_max_batches)
+
+        return eval_fn
+    if cfg.dataset == "ava":
+        from step_tpu.data.ava import AVADataset
+        from step_tpu.evaluate import evaluate_ava
+
+        label_map = None
+        if args.label_map:
+            from step_tpu.eval.ava_eval import AVALabelMap
+
+            label_map = AVALabelMap.from_pbtxt(args.label_map)
+        # --annotation-file is the TRAIN csv here; eval needs its own
+        val = AVADataset(args.data_root, cfg,
+                         args.eval_annotation_file or "ava_val_v2.1.csv",
+                         fps=args.fps, label_map=label_map,
+                         exclusions_file=args.exclusions)
+
+        def eval_fn(state, epoch):
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            return evaluate_ava(variables, val, cfg,
+                                max_batches=args.eval_max_batches)
+
+        return eval_fn
+    raise SystemExit("--eval-every-epochs supports ucf101_24/ava; for "
+                     "synthetic runs use scripts/train_eval_synth.py")
+
+
 def main():
     args = parse_args()
     from step_tpu.utils.cli import force_platform
@@ -135,6 +193,9 @@ def main():
     loader = DataLoader(dataset, cfg, batch_size=cfg.batch_size // pc,
                         train=True, seed=args.seed,
                         process_count=pc, process_index=pi)
+    eval_fn = None
+    if args.eval_every_epochs:
+        eval_fn = build_eval_fn(cfg, args)
     fit(
         cfg,
         loader,
@@ -143,6 +204,8 @@ def main():
         log_dir=args.log_dir,
         resume=args.resume,
         seed=args.seed,
+        eval_fn=eval_fn,
+        eval_every_epochs=args.eval_every_epochs or 1,
     )
 
 
