@@ -55,6 +55,43 @@ def average_precision(scores: np.ndarray, tp: np.ndarray, num_gt: int) -> float:
     return float(np.sum((r[1:] - r[:-1]) * precision))
 
 
+# ------------------------------------------------------------ greedy matcher
+
+def _class_matches(dets, gt_map, ious_fn):
+    """Per-detection GT IoU rows, threshold-independent: for each
+    (score, key, payload) in `dets` (sorted by descending score), the IoU
+    vector against `gt_map[key]`. Shared by the frame and video matchers
+    (and reused across thresholds by `video_map_range`)."""
+    return [(key, ious_fn(payload, gt_map.get(key, [])))
+            for _score, key, payload in dets]
+
+
+def _greedy_tp(matches, gt_map, iou_threshold):
+    """Official VOC/AVA consumption rule: each detection (descending
+    score) matches its SINGLE best-IoU GT; if that best GT is already
+    claimed the detection is an FP — no reassignment to the second-best.
+    (The lenient best-UNUSED-GT variant systematically inflates TP counts
+    vs the official evaluators; fixed round 3.)"""
+    used = {k: np.zeros(len(v), bool) for k, v in gt_map.items()}
+    tp = np.zeros(len(matches), bool)
+    for i, (key, ious) in enumerate(matches):
+        if ious.size == 0:
+            continue
+        j = int(np.argmax(ious))
+        if ious[j] >= iou_threshold and not used[key][j]:
+            tp[i] = True
+            used[key][j] = True
+    return tp
+
+
+def _frame_ious(box, gts):
+    return _iou_1vsN(box, np.stack(gts)) if len(gts) else np.zeros(0, np.float32)
+
+
+def _tube_ious(tube, gts):
+    return np.asarray([spatio_temporal_iou(tube, g) for g in gts], np.float32)
+
+
 # ---------------------------------------------------------------- frame mAP
 
 def match_detections(
@@ -81,20 +118,13 @@ def match_detections(
 
     matched = {}
     for cls in range(num_classes):
-        dets = sorted(det_by_class[cls], key=lambda d: -d[0])
-        used = {k: np.zeros(len(v), bool) for k, v in gt_by_cf.items() if k[0] == cls}
+        dets = [(s, (cls, fk), box)
+                for s, fk, box in sorted(det_by_class[cls],
+                                         key=lambda d: -d[0])]
+        gt_map = {k: v for k, v in gt_by_cf.items() if k[0] == cls}
         scores = np.asarray([d[0] for d in dets], np.float32)
-        tp = np.zeros(len(dets), bool)
-        for i, (score, frame_key, box) in enumerate(dets):
-            key = (cls, frame_key)
-            gts = gt_by_cf.get(key, [])
-            if gts:
-                ious = _iou_1vsN(box, np.stack(gts))
-                ious[used[key]] = -1.0
-                j = int(np.argmax(ious)) if len(ious) else -1
-                if j >= 0 and ious[j] >= iou_threshold:
-                    tp[i] = True
-                    used[key][j] = True
+        tp = _greedy_tp(_class_matches(dets, gt_map, _frame_ious),
+                        gt_map, iou_threshold)
         matched[cls] = (scores, tp)
     return {"matched": matched, "num_gt": gt_count}
 
@@ -140,13 +170,10 @@ def spatio_temporal_iou(
     return float(t_iou * s_iou)
 
 
-def video_map(
-    pred_tubes: Sequence[Tuple],  # (video_id, class_id, score, {frame: box})
-    gt_tubes: Sequence[Tuple],    # (video_id, class_id, {frame: box})
-    num_classes: int,
-    iou_threshold: float = 0.5,
-) -> Dict:
-    """Video-level tube mAP at a spatio-temporal IoU threshold."""
+def _video_prep(pred_tubes, gt_tubes, num_classes):
+    """Per-class (scores, matches, gt_map) with tube IoUs computed ONCE —
+    the IoU rows are threshold-independent, so the 0.5:0.95 sweep reuses
+    them instead of recomputing every spatio_temporal_iou 10x."""
     gt_by_cv = defaultdict(list)
     gt_count = np.zeros(num_classes, np.int64)
     for vid, cls, tube in gt_tubes:
@@ -157,24 +184,23 @@ def video_map(
     for vid, cls, score, tube in pred_tubes:
         det_by_class[cls].append((float(score), vid, tube))
 
-    ap = np.full(num_classes, np.nan, np.float64)
+    per_class = []
     for cls in range(num_classes):
-        dets = sorted(det_by_class[cls], key=lambda d: -d[0])
-        used = {k: np.zeros(len(v), bool) for k, v in gt_by_cv.items() if k[0] == cls}
+        dets = [(s, (cls, vid), tube)
+                for s, vid, tube in sorted(det_by_class[cls],
+                                           key=lambda d: -d[0])]
+        gt_map = {k: v for k, v in gt_by_cv.items() if k[0] == cls}
         scores = np.asarray([d[0] for d in dets], np.float32)
-        tp = np.zeros(len(dets), bool)
-        for i, (score, vid, tube) in enumerate(dets):
-            key = (cls, vid)
-            gts = gt_by_cv.get(key, [])
-            if gts:
-                ious = np.asarray([spatio_temporal_iou(tube, g) for g in gts])
-                ious[used[key]] = -1.0
-                j = int(np.argmax(ious)) if len(ious) else -1
-                if j >= 0 and ious[j] >= iou_threshold:
-                    tp[i] = True
-                    used[key][j] = True
-        ap[cls] = average_precision(scores, tp, int(gt_count[cls]))
+        per_class.append(
+            (scores, _class_matches(dets, gt_map, _tube_ious), gt_map))
+    return per_class, gt_count
 
+
+def _video_map_at(per_class, gt_count, num_classes, iou_threshold) -> Dict:
+    ap = np.full(num_classes, np.nan, np.float64)
+    for cls, (scores, matches, gt_map) in enumerate(per_class):
+        tp = _greedy_tp(matches, gt_map, iou_threshold)
+        ap[cls] = average_precision(scores, tp, int(gt_count[cls]))
     valid = ~np.isnan(ap)
     return {
         "mAP": float(np.mean(ap[valid])) if valid.any() else 0.0,
@@ -183,11 +209,23 @@ def video_map(
     }
 
 
+def video_map(
+    pred_tubes: Sequence[Tuple],  # (video_id, class_id, score, {frame: box})
+    gt_tubes: Sequence[Tuple],    # (video_id, class_id, {frame: box})
+    num_classes: int,
+    iou_threshold: float = 0.5,
+) -> Dict:
+    """Video-level tube mAP at a spatio-temporal IoU threshold."""
+    per_class, gt_count = _video_prep(pred_tubes, gt_tubes, num_classes)
+    return _video_map_at(per_class, gt_count, num_classes, iou_threshold)
+
+
 def video_map_range(
     pred_tubes, gt_tubes, num_classes,
     thresholds=tuple(np.arange(0.5, 1.0, 0.05)),
 ) -> float:
     """COCO-style averaged video-mAP (the 0.5:0.95 column)."""
-    vals = [video_map(pred_tubes, gt_tubes, num_classes, float(t))["mAP"]
+    per_class, gt_count = _video_prep(pred_tubes, gt_tubes, num_classes)
+    vals = [_video_map_at(per_class, gt_count, num_classes, float(t))["mAP"]
             for t in thresholds]
     return float(np.mean(vals))

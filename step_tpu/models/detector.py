@@ -32,17 +32,10 @@ import numpy as np
 from step_tpu.config import StepConfig
 from step_tpu.models.nets import FeatureNet, ContextNet, TwoBranchHead
 from step_tpu.preprocess import device_preprocess, device_preprocess_flow
-from step_tpu.ops.roi_align import tube_roi_align
+from step_tpu.ops.roi_align import feature_time_indices, tube_roi_align
 from step_tpu.tubes.boxes import decode_boxes, clip_boxes
 from step_tpu.tubes.tube_ops import chunk_frame_mask, extrapolate_tubes
 from step_tpu.tubes.proposals import initial_cuboids
-
-
-def feature_time_indices(T: int, Tp: int) -> jnp.ndarray:
-    """Map each strided feature slice t' to the input frame at its center."""
-    if T == Tp:
-        return jnp.arange(Tp)
-    return ((jnp.arange(Tp) + 0.5) * (T / Tp)).astype(jnp.int32)
 
 
 class _StepBody(nn.Module):

@@ -51,9 +51,14 @@ def nms(
         best = jnp.argmax(live_scores)
         best_score = live_scores[best]
         ok = best_score > NEG / 2
-        # Suppress overlapping boxes (including best itself via IoU=1 diag).
+        # Suppress overlapping boxes. The selected index is knocked out
+        # EXPLICITLY: a zero-area box (decoded box clipped fully outside
+        # the image) has IoU 0 with everything INCLUDING itself, so
+        # relying on the IoU diagonal would re-select it every iteration
+        # and fill all keep slots with duplicates of a degenerate box.
         suppress = iou[best] > iou_threshold
         nxt = jnp.where(suppress, NEG, live_scores)
+        nxt = nxt.at[best].set(NEG)
         # If nothing is live anymore, freeze the state.
         nxt = jnp.where(ok, nxt, live_scores)
         return nxt, (best.astype(jnp.int32), ok.astype(jnp.float32))

@@ -15,8 +15,9 @@ keep lists.
 
 Semantics are BIT-IDENTICAL to the scan version (tested exactly, not
 allclose): argmax ties break to the lowest index, suppression is
-`iou > threshold` with the same 1e-8-eps union (a kept zero-area box does
-NOT self-suppress — the scan's behavior), exhausted problems freeze with
+`iou > threshold` with the same 1e-8-eps union PLUS an explicit knockout
+of the selected index (a zero-area box has IoU 0 with itself and would
+otherwise be re-selected every iteration), exhausted problems freeze with
 keep_idx=0 / keep_mask=0.
 """
 
@@ -61,7 +62,10 @@ def _nms_kernel(scores_ref, boxes_ref, idx_ref, mask_ref, *, max_keep,
         h = jnp.maximum(jnp.minimum(cy2[None], y2) - jnp.maximum(cy1[None], y1), 0.0)
         inter = w * h
         iou = inter / jnp.maximum(carea[None] + area - inter, EPS)
-        suppressed = jnp.where(iou > iou_threshold, NEG, live)
+        # knock out the selected index explicitly: a zero-area box has
+        # IoU 0 with itself and would otherwise be re-selected forever
+        # (same rule as the scan version — bit-parity)
+        suppressed = jnp.where((iou > iou_threshold) | onehot, NEG, live)
         live = jnp.where(ok[None], suppressed, live)
         idx_ref[k, :] = idx.astype(jnp.int32)
         mask_ref[k, :] = ok.astype(jnp.float32)

@@ -25,6 +25,17 @@ import jax
 import jax.numpy as jnp
 
 
+def feature_time_indices(T: int, Tp: int) -> jnp.ndarray:
+    """Map each strided feature slice t' to the input frame at its center —
+    THE canonical slice→frame convention, shared by every ROI impl and the
+    detector (one definition; a divergent copy would silently pool
+    different frames' boxes while T==Tp parity tests keep passing)."""
+    if T == Tp:
+        return jnp.arange(Tp)
+    # Feature slice t' covers input frames [t'*T/Tp, (t'+1)*T/Tp); use center.
+    return ((jnp.arange(Tp) + 0.5) * (T / Tp)).astype(jnp.int32)
+
+
 def _bilinear_weights(coord, limit):
     """Detectron bilinear: returns (lo_idx, hi_idx, lo_w, hi_w, in_range).
 
@@ -209,10 +220,7 @@ def batched_tube_roi_align_kron(
     B, Tp, H, W, C = features.shape
     N, T = tubes.shape[1], tubes.shape[2]
     if time_indices is None:
-        if T == Tp:
-            time_indices = jnp.arange(Tp)
-        else:
-            time_indices = ((jnp.arange(Tp) + 0.5) * (T / Tp)).astype(jnp.int32)
+        time_indices = feature_time_indices(T, Tp)
     boxes = jnp.take(tubes, time_indices, axis=2)             # [B, N, T', 4]
     boxes = jnp.swapaxes(boxes, 1, 2)                         # [B, T', N, 4]
     k2 = kron_interp_weights(
@@ -227,15 +235,9 @@ def batched_tube_roi_align_kron(
     # On f32 inputs (CPU tests, reference parity) nothing changes.
     feat2 = features.reshape(B, Tp, H * W, C)
     k2 = k2.astype(features.dtype)
-    import os
-
-    if os.environ.get("STEP_TPU_KRON_OUT", "btrc") == "brtc":
-        # Experimental output order (measured neutral at B=128): ask the
-        # dot for [B, R, T', C] so the N-major permutation folds into the
-        # matmul epilogue.
-        out = jnp.einsum("btrk,btkc->brtc", k2, feat2)        # [B, R, T', C]
-        out = out.reshape(B, N, pooled_size, pooled_size, Tp, C)
-        return jnp.moveaxis(out, 4, 2).astype(features.dtype)
+    # (An epilogue-transposed "->brtc" output order was A/B-measured
+    # neutral at B=128 — trace r3 — and removed; the einsum below is the
+    # one production form.)
     out = jnp.einsum("btrk,btkc->btrc", k2, feat2)            # [B, T', R, C]
     out = out.reshape(B, Tp, N, pooled_size, pooled_size, C)
     return jnp.swapaxes(out, 1, 2).astype(features.dtype)
@@ -321,11 +323,7 @@ def tube_roi_align(
     Tp = features.shape[0]
     T = tubes.shape[1]
     if time_indices is None:
-        if T == Tp:
-            time_indices = jnp.arange(Tp)
-        else:
-            # Feature slice t' covers input frames [t'*T/Tp, (t'+1)*T/Tp); use center.
-            time_indices = ((jnp.arange(Tp) + 0.5) * (T / Tp)).astype(jnp.int32)
+        time_indices = feature_time_indices(T, Tp)
     boxes_per_slice = jnp.take(tubes, time_indices, axis=1)  # [N, T', 4]
     align = roi_align_matmul if impl == "matmul" else roi_align
 

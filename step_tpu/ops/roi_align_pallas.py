@@ -129,11 +129,10 @@ def _reference_batched(features, tubes, pooled_size, spatial_scale, sampling_rat
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _tube_roi_align_vjp(features, tubes, pooled_size, spatial_scale, sampling_ratio):
+    from step_tpu.ops.roi_align import feature_time_indices
+
     T, Tp = tubes.shape[2], features.shape[1]
-    if T == Tp:
-        t_idx = jnp.arange(Tp)
-    else:
-        t_idx = ((jnp.arange(Tp) + 0.5) * (T / Tp)).astype(jnp.int32)
+    t_idx = feature_time_indices(T, Tp)
     boxes_per_slice = jnp.take(tubes, t_idx, axis=2)  # [B, N, T', 4]
     return _tube_roi_align_pallas_raw(
         features, boxes_per_slice, pooled_size, spatial_scale, sampling_ratio

@@ -27,12 +27,9 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-
-def tf_same_pads(size: int, k: int, s: int) -> Tuple[int, int]:
-    """TF-SAME (left, right) padding for one dimension."""
-    out = -(-size // s)
-    pad = max((out - 1) * s + k - size, 0)
-    return pad // 2, pad - pad // 2
+# one definition of the TF-SAME rule — the s2d bit-equivalence proof
+# below depends on matching conv3d.py exactly
+from step_tpu.ops.conv3d import tf_same_pads
 
 
 def space_to_depth_kernel(kernel: jnp.ndarray) -> jnp.ndarray:

@@ -145,3 +145,31 @@ def test_tube_nms():
     kept_scores = sorted(s for v, c, s, _ in out if (v, c) == ("v", 0))
     assert kept_scores == [0.6, 0.8, 0.9]           # 0.7 suppressed
     assert tube_nms(tubes, iou_thresh=0.0) is tubes  # disabled passthrough
+
+
+def test_matching_is_official_protocol_no_reassignment():
+    """Official VOC/AVA rule: a detection whose BEST-IoU GT is already
+    claimed is an FP — it must not be reassigned to its second-best GT.
+    (The lenient variant inflates TP counts vs the official evaluators.)"""
+    from step_tpu.eval.detection_metrics import frame_map, video_map
+
+    f = ("v", 1)
+    A = np.asarray([0, 0, 10, 10], np.float32)
+    B = np.asarray([12, 0, 22, 10], np.float32)
+    gt = [(f, 0, A), (f, 0, B)]
+    # det1 (0.9): IoU 1.0 with A -> TP, claims A.
+    # det2 (0.8): IoU 0.5 with A (its argmax, claimed -> FP) and 0.2 with
+    # B — at threshold 0.2 the lenient best-UNUSED rule would reassign
+    # det2 to B and report AP 1.0; the official rule reports 0.5.
+    d1 = A
+    d2 = np.asarray([2, 0, 16, 10], np.float32)
+    dets = [(f, 0, 0.9, d1), (f, 0, 0.8, d2)]
+    m = frame_map(dets, gt, num_classes=1, iou_threshold=0.2)
+    np.testing.assert_allclose(m["mAP"], 0.5)
+
+    # same rule on the tube matcher (shared _greedy_tp)
+    tube = lambda box: {1: box, 2: box}
+    gt_t = [("v", 0, tube(A)), ("v", 0, tube(B))]
+    dets_t = [("v", 0, 0.9, tube(d1)), ("v", 0, 0.8, tube(d2))]
+    vm = video_map(dets_t, gt_t, num_classes=1, iou_threshold=0.2)
+    np.testing.assert_allclose(vm["mAP"], 0.5)

@@ -355,3 +355,27 @@ def test_link_tubes_k_exhaustion_guard():
     assert (ts[:2] > 0).all()               # two real tubes survive
     assert (ts[2:] == 0).all()              # exhausted paths killed
     assert trim[2:].sum() == 0
+
+
+def test_nms_top_scored_zero_area_box_self_suppresses():
+    """A zero-area box (decoded box clipped fully outside the image) has
+    IoU 0 with everything INCLUDING itself; it must be emitted once and
+    knocked out, not re-selected until the keep slots fill with
+    duplicates that shadow every real detection."""
+    boxes = jnp.asarray(
+        [[0.0, 0.0, 0.0, 10.0],        # zero-area, TOP score
+         [5.0, 5.0, 20.0, 20.0],
+         [50.0, 50.0, 70.0, 70.0]], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8, 0.7], jnp.float32)
+    keep_idx, keep_mask = nms(boxes, scores, 0.5, max_keep=6)
+    got = [int(i) for i, m in zip(np.asarray(keep_idx),
+                                  np.asarray(keep_mask)) if m > 0]
+    assert got == [0, 1, 2], got      # each exactly once, oracle order
+    assert got == np_greedy_nms(np.asarray(boxes), np.asarray(scores), 0.5)
+
+    # Pallas kernel keeps bit-parity on the same degenerate input
+    from step_tpu.ops.nms_pallas import nms_many
+    out_idx, out_mask = nms_many(boxes[None], scores[None], 0.5, 6, 0.0,
+                                 jnp.ones((1, 3)), interpret=True)
+    np.testing.assert_array_equal(np.asarray(keep_idx), np.asarray(out_idx[0]))
+    np.testing.assert_array_equal(np.asarray(keep_mask), np.asarray(out_mask[0]))
