@@ -198,7 +198,9 @@ class AVADataset:
             (video, ts), frames.shape[1:3]
         )
         if self.augment is not None:
-            rng = np.random.RandomState(zlib.crc32(f"{video}:{ts}".encode()))
+            ep = getattr(self, "_epoch", 0)  # epoch-salted (see ucf.py)
+            rng = np.random.RandomState(
+                zlib.crc32(f"{video}:{ts}:{ep}".encode()))
             frames, gt_tubes, gt_mask = self.augment(frames, gt_tubes, gt_mask, rng)
         frames, gt_tubes = resize_clip(frames, gt_tubes, cfg.image_size)
         gt_tubes = np.clip(gt_tubes, 0, cfg.image_size)

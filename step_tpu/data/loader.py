@@ -88,6 +88,9 @@ class DataLoader:
 
     def epoch(self, epoch: int = 0) -> Iterator[dict]:
         """Yield model-ready batches for one epoch (prefetched)."""
+        # datasets salt their augmentation RNG with this so every epoch
+        # redraws fresh augmentations instead of replaying epoch 0's
+        self.dataset._epoch = epoch
         order = self._epoch_order(epoch)
         batches = [
             order[i : i + self.batch_size]
@@ -109,6 +112,19 @@ class DataLoader:
                 return [self.dataset[int(i)] for i in idxs]
             return list(pool.map(lambda i: self.dataset[int(i)], idxs))
 
+        def put(item):
+            """q.put that gives up when the consumer abandoned the epoch —
+            a plain blocking put on the full prefetch queue would pin this
+            thread (plus every prefetched batch) forever once the consumer
+            breaks out early (max_batches, total_steps, preemption)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for bi, idxs in enumerate(batches):
@@ -122,11 +138,12 @@ class DataLoader:
                         emit_uint8=self.emit_uint8,
                     )
                     batch["meta"] = raw["meta"]
-                    q.put(batch)
+                    if not put(batch):
+                        return
             except BaseException as e:  # propagate to the consumer
-                q.put(e)
+                put(e)
             finally:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

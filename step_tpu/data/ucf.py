@@ -116,19 +116,20 @@ class UCFDataset:
             for tube in tubes:
                 frames = tube[:, 0].astype(np.int64) - 1  # annotations 1-based
                 lookup = {int(f): tube[i, 1:5] for i, f in enumerate(frames)}
-                # tube must cover the central frame of the clip
+                # tube must cover the central frame of the clip — a tube
+                # that only grazes the clip edge would otherwise supervise
+                # the whole window with stale nearest-frame replicas of a
+                # box where the actor no longer is
+                if int(frame_idx[T // 2]) not in lookup:
+                    continue
                 boxes = np.zeros((T, 4), np.float32)
-                covered = 0
                 for t, f in enumerate(frame_idx):
                     if int(f) in lookup:
                         boxes[t] = lookup[int(f)]
-                        covered += 1
                     else:
                         # clamp to the tube's nearest annotated frame
                         nearest = int(frames[np.argmin(np.abs(frames - f))])
                         boxes[t] = lookup[nearest]
-                if covered == 0:
-                    continue
                 if g < G:
                     gt_tubes[g] = boxes
                     gt_labels[g] = cls
@@ -156,10 +157,14 @@ class UCFDataset:
         frame_idx = self.clip_frame_indices(video, center)
         gt_tubes, gt_labels, gt_mask = self._gt_for_frames(video, frame_idx)
 
-        if self.use_native and not self.with_flow:
+        # The native loader needs the pkl's resolution entry to scale GT
+        # (its frames are already resized to image_size, so falling back to
+        # frames.shape would silently leave GT in native pixels); without
+        # one, take the python path, which measures the decoded frame size.
+        if self.use_native and not self.with_flow and video in self.resolution:
             frames = self._load_clip_native(video, frame_idx)
             if frames is not None:
-                H, W = self.resolution.get(video, frames.shape[1:3])
+                H, W = self.resolution[video]
                 s = np.asarray(
                     [cfg.image_size / W, cfg.image_size / H] * 2, np.float32
                 )
@@ -184,7 +189,11 @@ class UCFDataset:
             flow = flow_imgs[..., :2] * 2.0 - 1.0  # [0,1] → [-1,1], (x, y)
 
         if self.augment is not None:
-            rng = np.random.RandomState(zlib.crc32(f"{video}:{center}".encode()))
+            # epoch-salted so each epoch redraws fresh augmentations (the
+            # torch DataLoader's behavior); DataLoader.epoch sets _epoch
+            ep = getattr(self, "_epoch", 0)
+            rng = np.random.RandomState(
+                zlib.crc32(f"{video}:{center}:{ep}".encode()))
             if flow is not None:
                 frames, gt_tubes, gt_mask, flow = self.augment(
                     frames, gt_tubes, gt_mask, rng, flow=flow

@@ -131,21 +131,24 @@ def load_i3d_into_detector(detector_vars, i3d_vars, cfg, strict: bool = True):
     tail → steps/head/tail, replicated along the per-step scan axis.
     Returns a new variable dict (does not mutate inputs).
     """
-    import jax
-
-    det = jax.tree_util.tree_map(lambda x: x, detector_vars)  # shallow copy
-    det = {k: dict(v) for k, v in det.items()}
-
-    def put(tree, path, value):
-        node = tree
-        for k in path[:-1]:
-            node = node[k]
-        node[path[-1]] = value
-
     import copy
 
-    params = copy.deepcopy(jax.tree_util.tree_map(lambda x: x, det["params"]))
-    stats = copy.deepcopy(jax.tree_util.tree_map(lambda x: x, det["batch_stats"]))
+    import jax
+
+    from collections.abc import Mapping
+
+    def shallow(tree, depth):
+        """Copy mapping levels down to `depth` (handles FrozenDict) so the
+        replaced subtrees below can be reassigned without mutating — or
+        deep-copying — the input; leaves are immutable arrays, and a full
+        deepcopy would transiently double the 22M-param tree in host
+        memory."""
+        if depth == 0 or not isinstance(tree, Mapping):
+            return tree
+        return {k: shallow(v, depth - 1) for k, v in tree.items()}
+
+    params = shallow(detector_vars["params"], 3)
+    stats = shallow(detector_vars["batch_stats"], 3)
 
     # --- stem(s) ---
     params["features"]["stem_rgb"] = i3d_vars["params"]["stem"]

@@ -132,6 +132,15 @@ def fit(
         # data axis. Use every device when possible, otherwise the largest
         # divisor of batch_size (e.g. batch 2 on an 8-device host → mesh 2).
         n = len(jax.devices())
+        if jax.process_count() > 1 and cfg.batch_size % n:
+            # multi-host: a devices[:n] subset would exclude some hosts'
+            # local devices and make_array_from_process_local_data would
+            # fail/deadlock — require a clean global split instead
+            # (cfg.batch_size is the GLOBAL batch; train.py hands each
+            # process batch_size // process_count)
+            raise ValueError(
+                f"global batch {cfg.batch_size} must divide over all "
+                f"{n} devices in a multi-host run")
         while cfg.batch_size % n:
             n -= 1
         mesh = create_mesh((n,), cfg.mesh_axes)
@@ -200,7 +209,11 @@ def fit(
         if not pending:
             t_window = time.time()
             return
-        jax.block_until_ready(pending[-1][1])
+        # Close the window with a concrete VALUE readback, not
+        # block_until_ready: the relay transport acks the latter before
+        # execution finishes (CLAUDE.md), which would exclude the real
+        # drain time from every window and overstate clips/s.
+        float(jnp.asarray(pending[-1][1]["loss"]))
         cps = len(pending) * cfg.batch_size / max(time.time() - t_window, 1e-6)
         for s, m, extra in pending:
             extra["clips_per_sec"] = cps

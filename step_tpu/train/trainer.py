@@ -97,14 +97,13 @@ def create_train_state(
     cfg: StepConfig, rng: jax.Array, model: Optional[STEPDetector] = None
 ) -> TrainState:
     model = model or STEPDetector(cfg)
-    B, T = 1, cfg.total_frames
-    # a flow-stream detector (late-fusion protocol) takes 2-channel flow
-    # as its PRIMARY input — init must match or restored params mismatch
-    in_ch = 3 if cfg.input_stream == "rgb" else 2
-    rgb = jnp.zeros((B, T, cfg.image_size, cfg.image_size, in_ch), jnp.float32)
-    flow = jnp.zeros((B, T, cfg.image_size, cfg.image_size, 2), jnp.float32) if cfg.two_stream else None
-    props, _ = STEPDetector.initial_proposals(cfg, B)
-    variables = jax.jit(model.init)(rng, rgb, props, flow)
+    # Init on CPU unconditionally: on-device init of the full detector
+    # costs minutes of remote compile on the relay-tunneled TPU
+    # (utils/init.py); the first jitted train step moves the CPU-resident
+    # state to its device sharding anyway.
+    from step_tpu.utils.init import init_detector_cpu
+
+    variables = init_detector_cpu(cfg, rng, model)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     tx = make_optimizer(cfg)

@@ -74,8 +74,11 @@ def chained_timer(
     _ = jax.block_until_ready(carry)
     if readback:
         readback(carry)
+    # Continue the timed chain from the WARMUP OUTPUT: restarting from
+    # init_carry would make iteration 1 byte-identical to the warmup
+    # dispatch, which the relay transport memoizes (CLAUDE.md) — biasing
+    # the mean low by ~1/iters.
     t0 = time.time()
-    carry = init_carry
     for _ in range(iters):
         carry = step_fn(carry)
     if readback:

@@ -356,3 +356,47 @@ def test_ava_native_loader_matches_python_path(ava_root):
     np.testing.assert_allclose(a["rgb"], b["rgb"], atol=2e-2)
     np.testing.assert_allclose(a["gt_tubes"], b["gt_tubes"], atol=1e-3)
     np.testing.assert_array_equal(a["gt_labels"], b["gt_labels"])
+
+
+def test_augmentation_redraws_per_epoch(ucf_root):
+    """Augmentation RNG is epoch-salted: the same sample gets a fresh draw
+    each epoch (the torch DataLoader behavior) while staying deterministic
+    within an epoch."""
+    ds = UCFDataset(ucf_root, CFG, split="train", augment=True)
+    ds._epoch = 0
+    a0 = ds[0]["rgb"].copy()
+    a0_again = ds[0]["rgb"]
+    np.testing.assert_array_equal(a0, a0_again)   # deterministic per epoch
+    ds._epoch = 1
+    a1 = ds[0]["rgb"]
+    assert not np.array_equal(a0, a1)             # new epoch, new draw
+
+    # DataLoader.epoch() wires the salt
+    from step_tpu.data.loader import DataLoader
+
+    loader = DataLoader(ds, CFG, batch_size=1, shuffle=False, num_workers=1,
+                        drop_last=False)
+    next(loader.epoch(3))
+    assert ds._epoch == 3
+
+
+def test_loader_producer_exits_on_abandoned_epoch(ucf_root):
+    """Abandoning the epoch iterator (max_batches-style early break) must
+    release the producer thread — a blocking q.put on the full prefetch
+    queue used to pin it (plus its prefetched batches) forever."""
+    import threading
+    import time as _time
+
+    from step_tpu.data.loader import DataLoader
+
+    ds = UCFDataset(ucf_root, CFG, split="train")
+    before = threading.active_count()
+    loader = DataLoader(ds, CFG, batch_size=1, shuffle=False, num_workers=1,
+                        prefetch=1, drop_last=False)
+    gen = loader.epoch(0)
+    next(gen)          # producer now blocks on the full prefetch queue
+    gen.close()        # abandon: generator finally sets the stop event
+    deadline = _time.time() + 5.0
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
