@@ -89,7 +89,10 @@ def main():
 
     # ---- throughput (batched, chained) ----
     t0 = time.time()
-    jax.block_until_ready(detect(variables, rgb, proposals, prop_mask))
+    first = detect(variables, rgb, proposals, prop_mask)
+    # value readback, not block_until_ready: the relay acks the latter
+    # before execution finishes, which would under-report compile+settle
+    _ = float(jnp.sum(first["tube_scores"]))
     compile_s = time.time() - t0
     dt = _chained_time(detect, variables, rgb, proposals, prop_mask, ITERS) / ITERS
     clips_per_sec = BATCH / dt

@@ -24,17 +24,23 @@ def parse_args():
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--class-names", default=None, help="comma-separated names")
     p.add_argument("--tiny", action="store_true")
+    from step_tpu.utils.cli import add_common_args
+
+    add_common_args(p)
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    from step_tpu.utils.cli import apply_overrides, force_platform
+
+    force_platform(args)
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from step_tpu.config import PRESETS
-    from step_tpu.inference import detect_video
+    from step_tpu.inference import make_detect_video_fn
     from step_tpu.models.detector import STEPDetector
     from step_tpu.utils.init import init_detector_cpu
     from step_tpu.utils.vis import draw_detections, extract_frames, write_video
@@ -42,6 +48,7 @@ def main():
     cfg = PRESETS[args.preset].replace(score_thresh=args.score_thresh)
     if args.tiny:
         cfg = cfg.replace(backbone_depth="tiny", feature_stride=8)
+    cfg = apply_overrides(cfg, args.overrides)
     model = STEPDetector(cfg)
 
     if args.ckpt_dir:
@@ -70,7 +77,9 @@ def main():
         resized = np.concatenate([resized, np.repeat(resized[-1:], pad, 0)])
     clips = resized.reshape(L, T, S, S, 3).astype(np.float32)  # [0,1]; model normalizes on device
 
-    out = detect_video(variables, jnp.asarray(clips), cfg, model)
+    # ONE compiled program (detector + NMS + Viterbi linking) — the eager
+    # call would dispatch hundreds of ops per clip over the relay
+    out = make_detect_video_fn(cfg, model)(variables, jnp.asarray(clips))
     tubes = np.asarray(out["tubes"])              # [L, P, T, 4]
     paths = np.asarray(out["link_paths"])         # [C, K, L]
     trim = np.asarray(out["link_trim"])           # [C, K, L]

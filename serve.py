@@ -113,6 +113,9 @@ def main():
           f"({os.path.getsize(args.program)} bytes)", flush=True)
 
     B = args.batch_size
+    # loop-invariant device constants (two host->device transfers each —
+    # never pay them per batch on the relay; CLAUDE.md)
+    props, pmask = STEPDetector.initial_proposals(cfg, B)
     detections = []
     for vdir in _video_dirs(args.frames_dir):
         video = os.path.basename(vdir.rstrip("/"))
@@ -124,7 +127,6 @@ def main():
             if n < B:  # pad the final batch; padded rows dropped below
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], B - n, axis=0)])
-            props, pmask = STEPDetector.initial_proposals(cfg, B)
             out = run(variables, jnp.asarray(chunk), props, pmask)
             boxes = np.asarray(out["frame_boxes"])[:n]
             scores = np.asarray(out["frame_scores"])[:n]

@@ -76,7 +76,9 @@ def collect_detections(
             return detect_clip(variables, rgb, proposals, prop_mask, cfg,
                                model, flow)
 
-    detections = []
+    det_list, det_central, owned_fkeys = [], [], set()
+    fpc = cfg.frames_per_chunk
+    tc0 = (cfg.total_frames - fpc) // 2        # central-chunk start position
     for bi, batch in enumerate(loader.epoch(0)):
         if max_batches is not None and bi >= max_batches:
             break
@@ -120,13 +122,26 @@ def collect_detections(
             for t, c, k in keep:
                 if frame_idx is not None:
                     fkey = (video, int(frame_idx[t]) + 1)  # 1-based like GT
+                    central = tc0 <= t < tc0 + fpc
                 else:
                     fkey = (video, meta.get("timestamp", int(t)))
-                detections.append(
+                    central = True
+                det_list.append(
                     (fkey, int(c), float(scores[b, t, c, k]),
                      boxes[b, t, c, k] * scale)
                 )
-    return detections
+                det_central.append(central)
+                if central:
+                    owned_fkeys.add(fkey)
+    # Sliding clips revisit frames (total_frames = 3 chunks, stride = one
+    # chunk): a frame's OWNING clip is the one whose central chunk covers
+    # it (the chunks tile the video — same ownership rule as
+    # collect_video_tubes). Keep only the owner's detections; without this
+    # every actor shows up ~3x with slightly different boxes and the extra
+    # copies are guaranteed false positives at matching. Frames no clip
+    # owns (clamped video edges) keep their extension-frame detections.
+    return [d for d, central in zip(det_list, det_central)
+            if central or d[0] not in owned_fkeys]
 
 
 def collect_video_tubes(
@@ -212,6 +227,22 @@ def collect_video_tubes(
     for i, (v, _center) in enumerate(dataset.samples):
         by_video.setdefault(v, []).append(i)
 
+    # loop-invariant device constants, hoisted: the jnp initial_proposals
+    # costs two tiny host->device round-trips (~3.5 s/batch on the relay,
+    # CLAUDE.md) — never pay it per batch
+    props, pmask = STEPDetector.initial_proposals(cfg, clip_batch)
+    _, pmask1 = STEPDetector.initial_proposals(cfg, 1)
+
+    def _wire(batch):
+        # uint8 wire format (cfg.uint8_transfer): 4x less relay/PCIe
+        # bandwidth; device_preprocess normalizes on device
+        if cfg.uint8_transfer and batch.dtype != np.uint8 and batch.shape[-1] == 3:
+            batch = np.clip(np.round(batch * 255.0), 0, 255).astype(np.uint8)
+        return jnp.asarray(batch)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(2)   # decode next items while the TPU runs
     T, fpc = cfg.total_frames, cfg.frames_per_chunk
     tc0 = (T - fpc) // 2                       # central-chunk start position
     out = []
@@ -220,8 +251,7 @@ def collect_video_tubes(
             break
         L = len(idxs)
         clips, flows, frame_ids = [], [], []
-        for i in idxs:
-            item = dataset[i]
+        for item in pool.map(dataset.__getitem__, idxs):
             clips.append(item["rgb"])
             frame_ids.append(np.asarray(item["frame_indices"]))
             if need_flow:
@@ -237,19 +267,18 @@ def collect_video_tubes(
             chunk = clips[s : s + clip_batch]
             pad = clip_batch - len(chunk)
             batch = np.stack(chunk + [chunk[-1]] * pad)
-            props, pmask = STEPDetector.initial_proposals(cfg, clip_batch)
             if flows:
                 fchunk = flows[s : s + clip_batch]
                 fbatch = np.stack(fchunk + [fchunk[-1]] * pad)
                 if variables_flow is not None:
                     det = detect_lf(variables, variables_flow,
-                                    jnp.asarray(batch), props, pmask,
+                                    _wire(batch), props, pmask,
                                     jnp.asarray(fbatch))
                 else:
-                    det = detect(variables, jnp.asarray(batch), props, pmask,
+                    det = detect(variables, _wire(batch), props, pmask,
                                  jnp.asarray(fbatch))
             else:
-                det = detect(variables, jnp.asarray(batch), props, pmask)
+                det = detect(variables, _wire(batch), props, pmask)
             n = len(chunk)
             tubes_np.append(np.asarray(det["tubes"])[:n])
             scores_np.append(np.asarray(det["tube_scores"])[:n])
@@ -270,7 +299,6 @@ def collect_video_tubes(
                 [scores, np.repeat(scores[-1:], Lb - L, axis=0)], axis=0)
         clip_mask = np.zeros((Lb,), np.float32)
         clip_mask[:L] = 1.0
-        _, pmask1 = STEPDetector.initial_proposals(cfg, 1)
         prop_mask = jnp.broadcast_to(pmask1[0][None], (Lb, pmask1.shape[1]))
         link = link_fn(jnp.asarray(tubes), jnp.asarray(scores), prop_mask,
                        jnp.asarray(clip_mask))

@@ -383,19 +383,36 @@ def detect_video_stream_batched(
     fchunks = None if flow is None else flow.reshape(n, c, *flow.shape[1:])
     feats = []
     for i in range(0, n, clip_batch):
-        feats.append(stem_chunks(variables, chunks[i : i + clip_batch],
-                                 None if fchunks is None else
-                                 fchunks[i : i + clip_batch]))
+        f = stem_chunks(variables, chunks[i : i + clip_batch],
+                        None if fchunks is None else
+                        fchunks[i : i + clip_batch])
+        # cheap per-dispatch VALUE readback: many heavy dispatches with no
+        # readback stall pathologically on the relay transport (CLAUDE.md
+        # round-3 failure mode); one scalar costs ~ms
+        _ = float(jnp.sum(f[..., :1, :1, :1]))
+        feats.append(f)
     feats = jnp.concatenate(feats, axis=0) if len(feats) > 1 else feats[0]
 
     # 2) + 3) window gather (in-jit) and batched refinement + NMS
     centers = np.arange(n)[:, None] + np.arange(-half, half + 1)[None, :]
     centers = jnp.asarray(np.clip(centers, 0, n - 1))   # [n, K]
     outs = []
+    proposals_full, prop_mask_full = None, None
     for i in range(0, n, clip_batch):
         ctr = centers[i : i + clip_batch]
-        proposals, prop_mask = STEPDetector.initial_proposals(cfg, ctr.shape[0])
-        outs.append(refine_windows(variables, feats, ctr, proposals, prop_mask))
+        if ctr.shape[0] == clip_batch:
+            # loop-invariant full-size proposals: build once (two tiny
+            # host->device transfers cost ~3.5 s/batch on the relay)
+            if proposals_full is None:
+                proposals_full, prop_mask_full = (
+                    STEPDetector.initial_proposals(cfg, clip_batch))
+            proposals, prop_mask = proposals_full, prop_mask_full
+        else:   # ragged tail batch (different program shape anyway)
+            proposals, prop_mask = STEPDetector.initial_proposals(
+                cfg, ctr.shape[0])
+        o = refine_windows(variables, feats, ctr, proposals, prop_mask)
+        _ = float(jnp.sum(o["tube_scores"][:1, :1]))   # relay-stall guard
+        outs.append(o)
     if len(outs) == 1:
         return outs[0]
     return jax.tree_util.tree_map(

@@ -31,9 +31,10 @@ def device_preprocess_flow(flow: jnp.ndarray) -> jnp.ndarray:
     """int8 [-127,127] (quantized transfer) or float [-1,1] flow → float32.
 
     Flow frames come from uint8 images on disk (brox-images JPEGs mapped to
-    [-1,1] at 1/127.5 resolution), so the int8 wire format is lossless for
-    real datasets — the flow analog of the rgb uint8_transfer path, 4x less
-    relay/PCIe bandwidth than f32.
+    [-1,1] at 1/127.5 resolution), so the int8 wire format is
+    near-lossless for real datasets (<=1/254 round-off; u8 levels 127/128
+    share a code) — the flow analog of the rgb uint8_transfer path, 4x
+    less relay/PCIe bandwidth than f32.
     """
     x = flow.astype(jnp.float32)
     if flow.dtype == jnp.int8:

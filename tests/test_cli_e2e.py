@@ -268,3 +268,32 @@ def test_export_then_serve_cli(mini_ucf, tmp_path):
     assert isinstance(dets, list)
     for (video, frame), c, s, box in dets[:5]:
         assert frame >= 1 and 0 <= c < 2 and np.isfinite(s)
+
+
+def test_demo_cli(tmp_path):
+    """demo.py end-to-end: tiny synthetic video in → annotated video out,
+    through the single compiled detect_video program (random weights)."""
+    import cv2
+
+    src = str(tmp_path / "in.mp4")
+    rng = np.random.RandomState(0)
+    w = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"mp4v"), 5, (48, 40))
+    assert w.isOpened()
+    for _ in range(6):
+        w.write((rng.rand(40, 48, 3) * 255).astype(np.uint8))
+    w.release()
+
+    out = str(tmp_path / "out.mp4")
+    text = run_cli("demo.py", "--video", src, "--output", out,
+                   "--preset", "streaming", "--score-thresh", "0.0",
+                   *TINY_SET)
+    assert os.path.exists(out) and os.path.getsize(out) > 0, text
+    frames = []
+    cap = cv2.VideoCapture(out)
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        frames.append(f)
+    cap.release()
+    assert len(frames) == 6

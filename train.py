@@ -195,6 +195,12 @@ def main():
                         process_count=pc, process_index=pi)
     eval_fn = None
     if args.eval_every_epochs:
+        if args.distributed:
+            # the eval jit mixes globally-sharded params with host-local
+            # batch arrays — invalid in a multi-process runtime (and each
+            # host would redundantly run the full eval)
+            raise SystemExit("--eval-every-epochs is not supported with "
+                             "--distributed; run test.py from one host")
         eval_fn = build_eval_fn(cfg, args)
     fit(
         cfg,
