@@ -18,8 +18,16 @@ number users see in training logs.
 import argparse
 import json
 import os
+import sys
 import tempfile
 import time
+
+
+def _phase(msg):
+    """Progress marker on stderr (the JSON contract owns stdout) — phase
+    timings are the first diagnostic when the relay stalls mid-benchmark."""
+    print(f"[bench_train {time.strftime('%H:%M:%S')}] {msg}",
+          file=sys.stderr, flush=True)
 
 import jax
 import jax.numpy as jnp
@@ -92,14 +100,18 @@ def main():
     rng = jax.random.PRNGKey(1)
 
     # ---- device-chained step throughput over distinct uploaded batches ----
+    _phase("making host batches")
     host_batches = make_batches(cfg, ITERS + 1)
+    _phase("uploading batches")
     dev_batches = [make_global_batch(
         {k: v for k, v in b.items() if k != "meta"}, mesh)
         for b in host_batches]
+    _phase("compiling train step")
     t0 = time.time()
     state, m = pstep(state, dev_batches[-1], rng)   # compile + settle
     _ = float(m["loss"])                             # real value readback
     compile_s = time.time() - t0
+    _phase(f"compiled in {compile_s:.1f}s; timing {ITERS} steps")
 
     # Per-step VALUE readbacks: the relay acks block_until_ready early and
     # stalls pathologically on deep dispatch queues (measured 52-106 s/step
@@ -122,6 +134,7 @@ def main():
     # every refinement step's fwd AND bwd exactly. Replaces the former
     # (S-1)x3x-tail correction estimate. Compile is cached; nothing timed
     # here.
+    _phase(f"steps done ({dt*1000:.0f} ms/step); MFU lowering")
     mfu = None
     try:
         if cfg.scan_unroll:
@@ -174,8 +187,11 @@ def main():
     if args.skip_fit:
         fit_cps = fit_cps_pf = None
     else:
+        _phase("fit() arm: prefetch_upload=False")
         fit_cps = run_fit(False)   # production default (prefetch_upload off)
+        _phase("fit() arm: prefetch_upload=True")
         fit_cps_pf = run_fit(True)
+    _phase("done")
 
     print(json.dumps({
         "metric": "train_clips_per_sec_per_chip",

@@ -169,7 +169,11 @@ def collect_video_tubes(
 
     Each clip contributes the frames of its OWN sliding window (the central
     chunk) to the assembled tube — consecutive dataset samples stride by
-    exactly one chunk, so owned frames tile the video without overlap.
+    exactly one chunk, so owned frames tile the video without overlap; the
+    first/last active clips additionally contribute the video-boundary
+    extension frames no clip owns (mirroring `collect_detections`). The
+    Viterbi transition IoU compares temporally aligned boxes of the
+    window overlap (`stride=frames_per_chunk` — tubes/linking.py).
 
     `variables_flow`: a second single-stream detector's variables enables
     the late-fusion protocol on the TUBE surface (same fusion as
@@ -218,9 +222,14 @@ def collect_video_tubes(
 
     @functools.partial(jax.jit, static_argnames=())
     def link_fn(tubes, scores, prop_mask, clip_mask):
+        # stride = one chunk (consecutive dataset samples slide by exactly
+        # one chunk), so the Viterbi transition compares temporally ALIGNED
+        # boxes of the window overlap — the last-vs-first convention is for
+        # non-overlapping tilings only (see tubes/linking.py).
         return link_tubes_multiclass_k(
             tubes, scores, prop_mask, cfg.link_iou_weight,
             cfg.link_tubes_per_class, cfg.link_trim_thresh, clip_mask,
+            stride=cfg.frames_per_chunk,
         )
 
     by_video: dict = {}
@@ -322,7 +331,14 @@ def collect_video_tubes(
                     if trim[c, k, l] <= 0:
                         continue
                     p = paths[c, k, l]
-                    for t in range(tc0, tc0 + fpc):
+                    # owned central-chunk frames, plus the video-boundary
+                    # extension frames no clip owns (the first/last clips'
+                    # lead-in/tail) — same convention as collect_detections;
+                    # without them the first and last tc0 frames of every
+                    # video are unreachable, capping tube ST-IoU.
+                    t_lo = 0 if l == 0 else tc0
+                    t_hi = T if l == L - 1 else tc0 + fpc
+                    for t in range(t_lo, t_hi):
                         f = int(frame_ids[l][t]) + 1   # 1-based like GT
                         if f not in frames:
                             frames[f] = tubes[l, p, t] * scale

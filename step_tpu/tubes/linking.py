@@ -8,7 +8,22 @@ Viterbi dynamic program over the clip axis with `lax.scan` (static shapes:
 a fixed per-clip tube capacity P).
 
 Edge weight between tube i of clip t and tube j of clip t+1:
-    w = score_j + link_iou_weight * IoU(last_box_i, first_box_j)
+    w = score_j + link_iou_weight * transition_IoU(i, j)
+
+`transition_IoU` depends on how the clips tile the video (`stride`, in
+video frames between consecutive clips' first frames):
+  - stride=None (default): IoU(last box of i, first box of j) — correct
+    only for NON-overlapping tilings (stride == T, e.g. demo.py), where
+    those two boxes are temporally adjacent.
+  - stride=s < T (sliding windows, e.g. `evaluate.collect_video_tubes`'s
+    one-chunk stride): frame d of clip t+1 shows the SAME video frame as
+    frame d+s of clip t, so the transition is the mean pairwise IoU over
+    all T-s temporally ALIGNED frame pairs. The last-vs-first form is
+    meaningless here — the boxes are 2s-T+... frames apart in video time
+    (11 frames at the ucf_3step geometry), so for any moving actor it
+    under-scores the true continuation (measured: video-mAP@0.2 0.65 vs
+    the host greedy linker's 0.97 on the synthetic oracle before this
+    fix).
 
 Production form (`link_tubes_k` / `link_tubes_multiclass_k`): K paths per
 class by ITERATIVE Viterbi — extract the best path, suppress its (clip,
@@ -30,8 +45,19 @@ from step_tpu.tubes.boxes import pairwise_iou
 NEG = -1e9
 
 
-def _transition_iou(tubes: jnp.ndarray) -> jnp.ndarray:
-    """[L, P, T, 4] → [L-1, P, P] IoU(last box of clip t, first box of t+1)."""
+def _transition_iou(tubes: jnp.ndarray, stride: int | None = None) -> jnp.ndarray:
+    """[L, P, T, 4] → [L-1, P, P] cross-clip transition IoU.
+
+    `stride` (video frames between consecutive clips) selects the
+    convention — see the module docstring. None/<=0 → last-vs-first
+    (non-overlapping tiling); 0 < stride < T → mean IoU over the T-stride
+    temporally aligned frame pairs of the window overlap.
+    """
+    T = tubes.shape[2]
+    if stride and 0 < stride < T:
+        a = jnp.moveaxis(tubes[:-1, :, stride:, :], 1, 2)   # [L-1, D, P, 4]
+        b = jnp.moveaxis(tubes[1:, :, : T - stride, :], 1, 2)
+        return pairwise_iou(a, b).mean(axis=1)              # [L-1, P, P]
     last_boxes = tubes[:, :, -1, :]
     first_boxes = tubes[:, :, 0, :]
     return jax.vmap(pairwise_iou)(last_boxes[:-1], first_boxes[1:])
@@ -72,6 +98,7 @@ def link_tubes(
     scores: jnp.ndarray,
     valid: jnp.ndarray | None = None,
     link_iou_weight: float = 1.0,
+    stride: int | None = None,
 ):
     """Link per-clip tubes into ONE video tube by Viterbi (the k=1 core).
 
@@ -80,6 +107,7 @@ def link_tubes(
       scores: [L, P] — per-tube class score (run once per class).
       valid:  [L, P] — optional validity mask for padded tube slots.
       link_iou_weight: weight of temporal-overlap IoU in the edge score.
+      stride: video-frame stride of the clip tiling (see `_transition_iou`).
 
     Returns:
       path:   [L] int32 — chosen tube index per clip (the best video tube).
@@ -89,7 +117,7 @@ def link_tubes(
     if valid is None:
         valid = jnp.ones((L, P), scores.dtype)
     masked_scores = jnp.where(valid > 0, scores, NEG)
-    trans = _transition_iou(tubes)
+    trans = _transition_iou(tubes, stride)
     return _viterbi(masked_scores, trans, link_iou_weight)
 
 
@@ -132,6 +160,7 @@ def link_tubes_k(
     k: int = 4,
     trim_thresh: float = 0.05,
     clip_mask: jnp.ndarray | None = None,   # [L] — 0 for padded clip slots
+    stride: int | None = None,              # clip-tiling stride (video frames)
 ):
     """K video tubes per class by iterative Viterbi with node suppression.
 
@@ -156,7 +185,7 @@ def link_tubes_k(
         clip_mask = jnp.ones((L,), scores.dtype)
     # padded clips: neutral node score, zero transition weight
     scores = scores * clip_mask[:, None]
-    trans = _transition_iou(tubes) * jnp.minimum(
+    trans = _transition_iou(tubes, stride) * jnp.minimum(
         clip_mask[:-1], clip_mask[1:])[:, None, None]
 
     def one(valid_carry, _):
@@ -187,28 +216,31 @@ def link_tubes_k(
             "tube_scores": tube_scores}
 
 
-def link_tubes_multiclass(tubes, class_scores, valid=None, link_iou_weight: float = 1.0):
+def link_tubes_multiclass(tubes, class_scores, valid=None,
+                          link_iou_weight: float = 1.0,
+                          stride: int | None = None):
     """Vectorize `link_tubes` over a class axis (single best path per class).
 
     Args:
       tubes: [L, P, T, 4]; class_scores: [L, P, C]; valid: [L, P] or None.
     Returns: paths [C, L] int32, values [C].
     """
-    C = class_scores.shape[-1]
     scores_cf = jnp.moveaxis(class_scores, -1, 0)  # [C, L, P]
     v = valid if valid is not None else jnp.ones(class_scores.shape[:2], class_scores.dtype)
-    return jax.vmap(lambda s: link_tubes(tubes, s, v, link_iou_weight))(scores_cf)
+    return jax.vmap(
+        lambda s: link_tubes(tubes, s, v, link_iou_weight, stride))(scores_cf)
 
 
 def link_tubes_multiclass_k(
     tubes, class_scores, valid=None, link_iou_weight: float = 1.0,
     k: int = 4, trim_thresh: float = 0.05, clip_mask=None,
+    stride: int | None = None,
 ):
     """Vectorize `link_tubes_k` over a class axis.
 
     Args:
       tubes: [L, P, T, 4]; class_scores: [L, P, C]; valid: [L, P] or None;
-      clip_mask: [L] or None.
+      clip_mask: [L] or None; stride: clip-tiling stride (video frames).
     Returns dict with leading class axis:
       paths [C, K, L], values [C, K], trim [C, K, L], tube_scores [C, K].
     """
@@ -217,5 +249,5 @@ def link_tubes_multiclass_k(
         class_scores.shape[:2], class_scores.dtype)
     return jax.vmap(
         lambda s: link_tubes_k(tubes, s, v, link_iou_weight, k,
-                               trim_thresh, clip_mask)
+                               trim_thresh, clip_mask, stride)
     )(scores_cf)

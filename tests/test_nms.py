@@ -87,6 +87,46 @@ def test_link_tubes_prefers_continuity():
     np.testing.assert_array_equal(np.asarray(path), [0, 0, 0])
 
 
+def test_link_tubes_stride_aligned_transition():
+    # Sliding windows (stride < T): frame d of clip 1 shows the same video
+    # frame as frame d+stride of clip 0. A fast-moving actor's true
+    # continuation has LOW last-vs-first IoU (the boxes are 2 video frames
+    # apart here) while a static distractor parked on clip 0's last box has
+    # IoU 1.0 — the legacy convention links the distractor; the aligned
+    # convention (mean IoU over the window overlap) links the actor.
+    L, P, T, stride = 2, 2, 4, 2
+
+    def box(v):                      # actor box at video frame v
+        x = 5.0 * v
+        return [x, 0.0, x + 10.0, 10.0]
+
+    tubes = np.zeros((L, P, T, 4), np.float32)
+    for t in range(T):
+        tubes[0, 0, t] = box(t)               # clip 0 covers video frames 0..3
+        tubes[1, 0, t] = box(t + stride)      # clip 1 covers video frames 2..5
+    tubes[0, 1, :] = [50, 50, 60, 60]         # clip-0 far-away distractor
+    tubes[1, 1, :] = box(T - 1)               # clip-1 distractor = clip 0's last box
+    scores = np.full((L, P), 0.5, np.float32)
+
+    legacy, _ = link_tubes(jnp.asarray(tubes), jnp.asarray(scores))
+    assert int(legacy[1]) == 1                # links the static distractor
+    aligned, _ = link_tubes(jnp.asarray(tubes), jnp.asarray(scores),
+                            stride=stride)
+    np.testing.assert_array_equal(np.asarray(aligned), [0, 0])
+
+    # stride >= T (non-overlapping tiling) falls back to last-vs-first
+    fallback, _ = link_tubes(jnp.asarray(tubes), jnp.asarray(scores), stride=T)
+    np.testing.assert_array_equal(np.asarray(fallback), np.asarray(legacy))
+
+    # the k/multiclass production surface accepts stride and agrees
+    from step_tpu.tubes.linking import link_tubes_multiclass_k
+
+    out = link_tubes_multiclass_k(
+        jnp.asarray(tubes), jnp.asarray(scores)[..., None], k=1,
+        trim_thresh=0.05, stride=stride)
+    np.testing.assert_array_equal(np.asarray(out["paths"][0, 0]), [0, 0])
+
+
 def test_link_tubes_prefers_high_scores():
     L, P, T = 4, 3, 2
     rng = np.random.RandomState(0)

@@ -143,6 +143,12 @@ def test_synthetic_video_dataset_protocol():
     host = link_frame_detections(dedupe_frame_detections(dets))
     dev = collect_video_tubes(variables, vds, cfg, model,
                               image_scale_to_gt=False)
+    # the video-boundary extension frames (owned by no clip) must be
+    # reachable: with score_thresh=0 and near-uniform untrained scores some
+    # device tube stays active on the first/last clips and must span the
+    # WHOLE video, not just the central-chunk-owned frames
+    assert any(set(frames) == set(range(1, syn.num_frames + 1))
+               for _, _, _, frames in dev)
     for tubes in (host, dev):
         for vid, c, score, frames in tubes:
             assert vid.startswith("synth_") and 0 <= c < cfg.num_classes
