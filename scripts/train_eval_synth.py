@@ -42,6 +42,13 @@ def parse_args():
                         "greedy + on-device K-tube)")
     p.add_argument("--video-windows", type=int, default=11,
                    help="sliding windows per long video (stride = one chunk)")
+    p.add_argument("--save-variables", default=None, metavar="PATH",
+                   help="after training, serialize {params, batch_stats} "
+                        "(msgpack) so eval-protocol changes can be re-measured "
+                        "without retraining")
+    p.add_argument("--load-variables", default=None, metavar="PATH",
+                   help="skip training; restore variables saved by "
+                        "--save-variables (config must match)")
     return p.parse_args()
 
 
@@ -98,20 +105,36 @@ def main():
 
     t0 = time.time()
     losses = []
-    for step in range(args.steps):
-        batch = model_batch(args.seed * 1000 + step * cfg.batch_size)
-        state, metrics = pstep(state, batch, rng)
-        # Per-step VALUE readback: the axon relay stalls pathologically on
-        # back-to-back heavy dispatches with no readback (CLAUDE.md round-3
-        # failure mode); a concrete float costs ~ms and keeps it honest.
-        loss = round(float(metrics["loss"]), 3)
-        if step % 50 == 0 or step == args.steps - 1:
-            losses.append(loss)
-            print(f"step {step}: loss={loss}", flush=True)
-    train_s = time.time() - t0
+    if args.load_variables:
+        from flax import serialization
+
+        with open(args.load_variables, "rb") as f:
+            variables = serialization.msgpack_restore(f.read())
+        variables = jax.device_put(variables, replicated_sharding(mesh))
+    else:
+        for step in range(args.steps):
+            batch = model_batch(args.seed * 1000 + step * cfg.batch_size)
+            state, metrics = pstep(state, batch, rng)
+            # Per-step VALUE readback: the axon relay stalls pathologically
+            # on back-to-back heavy dispatches with no readback (CLAUDE.md
+            # round-3 failure mode); a concrete float costs ~ms and keeps
+            # it honest.
+            loss = round(float(metrics["loss"]), 3)
+            if step % 50 == 0 or step == args.steps - 1:
+                losses.append(loss)
+                print(f"step {step}: loss={loss}", flush=True)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+    train_s = time.time() - t0 if not args.load_variables else 0.0
+
+    if args.save_variables:
+        from flax import serialization
+
+        host_vars = jax.tree.map(np.asarray, variables)
+        with open(args.save_variables, "wb") as f:
+            f.write(serialization.msgpack_serialize(host_vars))
+        print(f"saved variables -> {args.save_variables}", flush=True)
 
     # ---- held-out eval (seeds disjoint from every training seed) ----
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     @jax.jit
     def detect(variables, rgb, proposals, prop_mask, flow=None):

@@ -176,6 +176,15 @@ class StepConfig:
     # … each trimmed to its maximal-sum run of per-clip scores above this
     # threshold (temporal tube termination — tubes need not span the video).
     link_trim_thresh: float = 0.05
+    # On-device duplicate-tube suppression inside the iterative Viterbi:
+    # after each extracted path, invalidate same-clip nodes overlapping the
+    # chosen node above this mean per-frame IoU, so later paths find other
+    # actors instead of re-linking a near-duplicate proposal. <= 0 disables.
+    # Measured (synthetic oracle, 12 videos, scripts/diag_linking.py):
+    # video-mAP@0.2/@0.5 0.65/0.58 without -> 1.00/0.89 at 0.5 (0.7 ties,
+    # 0.3 over-suppresses the second actor: 0.81 @0.5) — the node-disjoint
+    # constraint alone leaves duplicate tubes that are guaranteed FPs.
+    link_suppress_iou: float = 0.5
     # NMS lowering. "pallas" (default): one-kernel batched greedy NMS
     # (ops/nms_pallas.py) — profiling showed the lax.scan version costs
     # ~20 ms/batch at B=64 (16 sequential iterations of tiny kernels over

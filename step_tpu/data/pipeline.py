@@ -29,6 +29,16 @@ def normalize_rgb(rgb: np.ndarray) -> np.ndarray:
     return (rgb - RGB_MEAN) / RGB_STD
 
 
+def rgb_to_uint8_wire(rgb: np.ndarray) -> np.ndarray:
+    """THE [0,1]-float → uint8 wire quantizer (round half up).
+
+    Single owner of the conversion so every surface that ships uint8
+    (train/eval loaders, device-linking collector, serving) quantizes
+    bit-identically — np.round's banker's rounding differs on exact .5
+    ties and would silently break cross-surface parity."""
+    return (np.clip(rgb, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+
+
 def jitter_gt_proposals(
     gt_tubes: np.ndarray,   # [G, T, 4]
     gt_mask: np.ndarray,    # [G]
@@ -112,7 +122,7 @@ def build_model_batch(
         gt_tubes, gt_mask, labels = fit_g(gt_tubes), fit_g(gt_mask), fit_g(labels)
 
     if emit_uint8:
-        rgb_out = (np.clip(raw["rgb"], 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        rgb_out = rgb_to_uint8_wire(raw["rgb"])
     else:
         rgb_out = raw["rgb"].astype(np.float32)
     batch = {

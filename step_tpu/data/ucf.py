@@ -80,10 +80,15 @@ class UCFDataset:
         stride = clip_stride or cfg.frames_per_chunk
         T_c = cfg.frames_per_chunk
         self.samples = []
+        self._centers_by_video: dict = {}
         for v in self.videos:
             n = self.nframes[v]
+            centers = []
             for start in range(0, max(n - T_c + 1, 1), stride):
-                self.samples.append((v, start + T_c // 2))  # center frame (0-based)
+                centers.append(start + T_c // 2)            # center frame (0-based)
+                self.samples.append((v, centers[-1]))
+            self._centers_by_video[v] = np.asarray(centers)
+        self._orphan_owner_cache: dict = {}
 
     def __len__(self):
         return len(self.samples)
@@ -103,6 +108,31 @@ class UCFDataset:
         offsets = (np.arange(T) - T // 2) * cfg.temporal_stride
         return np.clip(center + offsets, 0, self.nframes[video] - 1)
 
+    def _orphan_owners(self, video: str) -> dict:
+        """{(cls, tube_idx): designated center} for GT tubes covering NO
+        sampled clip center of their video.
+
+        The central-coverage rule in `_gt_for_frames` would otherwise drop
+        a short tube that lives between clip centers (or after the last
+        one) from EVERY clip's supervision — while `video_groundtruth`
+        still emits it, making it a guaranteed eval miss. Such orphans are
+        claimed by the clip whose center is nearest the tube's median
+        annotated frame."""
+        if video not in self._orphan_owner_cache:
+            centers = self._centers_by_video.get(video)
+            owners = {}
+            if centers is not None and len(centers):
+                for cls, tubes in self.gttubes.get(video, {}).items():
+                    for ti, tube in enumerate(tubes):
+                        frames0 = tube[:, 0].astype(np.int64) - 1
+                        covered = set(int(f) for f in frames0)
+                        if not covered.intersection(int(c) for c in centers):
+                            med = float(np.median(frames0))
+                            owners[(cls, ti)] = int(
+                                centers[np.argmin(np.abs(centers - med))])
+            self._orphan_owner_cache[video] = owners
+        return self._orphan_owner_cache[video]
+
     def _gt_for_frames(self, video: str, frame_idx: np.ndarray):
         """GT tubes restricted to the clip's frames (edge frames clamp to the
         tube's nearest annotated frame if the tube covers the clamped index)."""
@@ -112,15 +142,20 @@ class UCFDataset:
         gt_labels = np.zeros((G,), np.int32)
         gt_mask = np.zeros((G,), np.float32)
         g = 0
+        orphan_owners = self._orphan_owners(video)
+        center = int(frame_idx[T // 2])
         for cls, tubes in self.gttubes.get(video, {}).items():
-            for tube in tubes:
+            for ti, tube in enumerate(tubes):
                 frames = tube[:, 0].astype(np.int64) - 1  # annotations 1-based
                 lookup = {int(f): tube[i, 1:5] for i, f in enumerate(frames)}
                 # tube must cover the central frame of the clip — a tube
                 # that only grazes the clip edge would otherwise supervise
                 # the whole window with stale nearest-frame replicas of a
-                # box where the actor no longer is
-                if int(frame_idx[T // 2]) not in lookup:
+                # box where the actor no longer is. Exception: a tube that
+                # covers NO clip's center (short action between centers)
+                # is supervised from its designated nearest clip.
+                if (center not in lookup
+                        and orphan_owners.get((cls, ti)) != center):
                     continue
                 boxes = np.zeros((T, 4), np.float32)
                 for t, f in enumerate(frame_idx):

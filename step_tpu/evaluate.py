@@ -36,12 +36,19 @@ def collect_detections(
     image_scale_to_gt: bool = True,
     mesh=None,
     variables_flow=None,
+    coverage: Optional[dict] = None,
 ):
     """Run detection over `dataset` → list of (frame_key, cls, score, box).
 
     frame_key is (video, frame_number 1-based) for UCF-style datasets, or
     (video, timestamp) for AVA. Boxes are mapped back to the dataset's
     native resolution when the dataset exposes `resolution` (UCF pkl).
+
+    `coverage`: optional dict filled in-place with what was actually
+    evaluated — "fkeys" (frame keys of every window frame seen) and
+    "videos" (videos with >= 1 clip seen). A `max_batches`-truncated run
+    must score against only this subset of the GT, or the printed mAP is
+    capped by an arbitrary recall ceiling (see `evaluate_ucf`).
 
     `mesh`: optional `jax.sharding.Mesh` — shards each detection batch over
     the mesh's data axis (`inference.make_parallel_detect_fn`); ragged final
@@ -52,6 +59,14 @@ def collect_detections(
     `variables` is then the RGB-stream detector, scores fuse pre-NMS.
     Requires a dataset built with flow; not supported with `mesh`.
     """
+    if cfg.temporal_stride != 1:
+        # The frame-ownership dedupe below assumes clips sample EVERY frame
+        # and consecutive clips tile by one chunk; with temporal_stride > 1
+        # central chunks overlap in video time and the dedupe would keep
+        # misaligned duplicates. Fail loudly instead of corrupting mAPs.
+        raise ValueError(
+            "collect_detections' sliding-window ownership protocol "
+            f"requires temporal_stride == 1; got {cfg.temporal_stride}")
     model = model or STEPDetector(cfg)
     from step_tpu.data.loader import DataLoader
 
@@ -113,12 +128,29 @@ def collect_detections(
         for b, meta in enumerate(batch["meta"]):
             video = meta.get("video")
             frame_idx = meta.get("frame_indices")
+            if coverage is not None:
+                coverage.setdefault("videos", set()).add(video)
+                fk = coverage.setdefault("fkeys", set())
+                if frame_idx is not None:
+                    for f in frame_idx:
+                        fk.add((video, int(f) + 1))
+                else:
+                    fk.add((video, meta.get("timestamp")))
             sx = sy = 1.0
             if image_scale_to_gt and hasattr(dataset, "resolution"):
                 H, W = dataset.resolution.get(video, (cfg.image_size, cfg.image_size))
                 sx, sy = W / cfg.image_size, H / cfg.image_size
             keep = np.argwhere((mask[b] > 0) & (scores[b] > cfg.score_thresh))
             scale = np.asarray([sx, sy, sx, sy], np.float32)
+            if frame_idx is not None:
+                # GEOMETRIC ownership: every frame this clip's central
+                # chunk covers is owned, whether or not a detection passed
+                # the score threshold there. Keying ownership on emitted
+                # detections would let BOTH neighbors' extension-frame
+                # copies survive exactly when the owner is silent — the
+                # duplicate-FP defect this dedupe exists to remove.
+                for t in range(tc0, tc0 + fpc):
+                    owned_fkeys.add((video, int(frame_idx[t]) + 1))
             for t, c, k in keep:
                 if frame_idx is not None:
                     fkey = (video, int(frame_idx[t]) + 1)  # 1-based like GT
@@ -131,8 +163,6 @@ def collect_detections(
                      boxes[b, t, c, k] * scale)
                 )
                 det_central.append(central)
-                if central:
-                    owned_fkeys.add(fkey)
     # Sliding clips revisit frames (total_frames = 3 chunks, stride = one
     # chunk): a frame's OWNING clip is the one whose central chunk covers
     # it (the chunks tile the video — same ownership rule as
@@ -195,6 +225,13 @@ def collect_video_tubes(
     from step_tpu.inference import make_detect_fn
     from step_tpu.tubes.linking import link_tubes_multiclass_k
 
+    if cfg.temporal_stride != 1:
+        # Same protocol assumption as collect_detections: per-frame
+        # sampling with one-chunk clip tiling (ownership + transition
+        # alignment are computed in those units).
+        raise ValueError(
+            "collect_video_tubes' clip-tiling protocol requires "
+            f"temporal_stride == 1; got {cfg.temporal_stride}")
     model = model or STEPDetector(cfg)
     need_flow = eval_needs_flow(cfg, variables_flow)
     if variables_flow is not None:
@@ -229,7 +266,9 @@ def collect_video_tubes(
         return link_tubes_multiclass_k(
             tubes, scores, prop_mask, cfg.link_iou_weight,
             cfg.link_tubes_per_class, cfg.link_trim_thresh, clip_mask,
-            stride=cfg.frames_per_chunk,
+            stride=cfg.frames_per_chunk // cfg.temporal_stride,
+            suppress_iou=(cfg.link_suppress_iou
+                          if cfg.link_suppress_iou > 0 else None),
         )
 
     by_video: dict = {}
@@ -244,9 +283,12 @@ def collect_video_tubes(
 
     def _wire(batch):
         # uint8 wire format (cfg.uint8_transfer): 4x less relay/PCIe
-        # bandwidth; device_preprocess normalizes on device
+        # bandwidth; device_preprocess normalizes on device. Shares the
+        # loader's quantizer so both eval surfaces see identical pixels.
         if cfg.uint8_transfer and batch.dtype != np.uint8 and batch.shape[-1] == 3:
-            batch = np.clip(np.round(batch * 255.0), 0, 255).astype(np.uint8)
+            from step_tpu.data.pipeline import rgb_to_uint8_wire
+
+            batch = rgb_to_uint8_wire(batch)
         return jnp.asarray(batch)
 
     from concurrent.futures import ThreadPoolExecutor
@@ -255,95 +297,98 @@ def collect_video_tubes(
     T, fpc = cfg.total_frames, cfg.frames_per_chunk
     tc0 = (T - fpc) // 2                       # central-chunk start position
     out = []
-    for vi, (video, idxs) in enumerate(by_video.items()):
-        if max_videos is not None and vi >= max_videos:
-            break
-        L = len(idxs)
-        clips, flows, frame_ids = [], [], []
-        for item in pool.map(dataset.__getitem__, idxs):
-            clips.append(item["rgb"])
-            frame_ids.append(np.asarray(item["frame_indices"]))
-            if need_flow:
-                if item.get("flow") is None:
-                    raise ValueError(FLOW_DATASET_ERROR)
-                flows.append(item["flow"])
-        if cfg.input_stream == "flow" and variables_flow is None:
-            # standalone flow-stream detector: flow IS the primary input
-            clips, flows = flows, []
-        # detect in fixed-size clip batches (pad by repeating the last clip)
-        tubes_np, scores_np = [], []
-        for s in range(0, L, clip_batch):
-            chunk = clips[s : s + clip_batch]
-            pad = clip_batch - len(chunk)
-            batch = np.stack(chunk + [chunk[-1]] * pad)
-            if flows:
-                fchunk = flows[s : s + clip_batch]
-                fbatch = np.stack(fchunk + [fchunk[-1]] * pad)
-                if variables_flow is not None:
-                    det = detect_lf(variables, variables_flow,
-                                    _wire(batch), props, pmask,
-                                    jnp.asarray(fbatch))
+    try:   # always reclaim the decode workers (per-epoch evals)
+        for vi, (video, idxs) in enumerate(by_video.items()):
+            if max_videos is not None and vi >= max_videos:
+                break
+            L = len(idxs)
+            clips, flows, frame_ids = [], [], []
+            for item in pool.map(dataset.__getitem__, idxs):
+                clips.append(item["rgb"])
+                frame_ids.append(np.asarray(item["frame_indices"]))
+                if need_flow:
+                    if item.get("flow") is None:
+                        raise ValueError(FLOW_DATASET_ERROR)
+                    flows.append(item["flow"])
+            if cfg.input_stream == "flow" and variables_flow is None:
+                # standalone flow-stream detector: flow IS the primary input
+                clips, flows = flows, []
+            # detect in fixed-size clip batches (pad by repeating the last clip)
+            tubes_np, scores_np = [], []
+            for s in range(0, L, clip_batch):
+                chunk = clips[s : s + clip_batch]
+                pad = clip_batch - len(chunk)
+                batch = np.stack(chunk + [chunk[-1]] * pad)
+                if flows:
+                    fchunk = flows[s : s + clip_batch]
+                    fbatch = np.stack(fchunk + [fchunk[-1]] * pad)
+                    if variables_flow is not None:
+                        det = detect_lf(variables, variables_flow,
+                                        _wire(batch), props, pmask,
+                                        jnp.asarray(fbatch))
+                    else:
+                        det = detect(variables, _wire(batch), props, pmask,
+                                     jnp.asarray(fbatch))
                 else:
-                    det = detect(variables, _wire(batch), props, pmask,
-                                 jnp.asarray(fbatch))
-            else:
-                det = detect(variables, _wire(batch), props, pmask)
-            n = len(chunk)
-            tubes_np.append(np.asarray(det["tubes"])[:n])
-            scores_np.append(np.asarray(det["tube_scores"])[:n])
-        tubes = np.concatenate(tubes_np, axis=0)      # [L, P, T, 4]
-        scores = np.concatenate(scores_np, axis=0)    # [L, P, C]
-        if calibration is not None:
-            z = np.clip(scores * calib_a + calib_b, -30.0, 30.0)
-            scores = 1.0 / (1.0 + np.exp(-z))
+                    det = detect(variables, _wire(batch), props, pmask)
+                n = len(chunk)
+                tubes_np.append(np.asarray(det["tubes"])[:n])
+                scores_np.append(np.asarray(det["tube_scores"])[:n])
+            tubes = np.concatenate(tubes_np, axis=0)      # [L, P, T, 4]
+            scores = np.concatenate(scores_np, axis=0)    # [L, P, C]
+            if calibration is not None:
+                z = np.clip(scores * calib_a + calib_b, -30.0, 30.0)
+                scores = 1.0 / (1.0 + np.exp(-z))
 
-        # bucket the clip axis to the next power of two
-        Lb = 1
-        while Lb < L:
-            Lb *= 2
-        if Lb > L:
-            tubes = np.concatenate(
-                [tubes, np.repeat(tubes[-1:], Lb - L, axis=0)], axis=0)
-            scores = np.concatenate(
-                [scores, np.repeat(scores[-1:], Lb - L, axis=0)], axis=0)
-        clip_mask = np.zeros((Lb,), np.float32)
-        clip_mask[:L] = 1.0
-        prop_mask = jnp.broadcast_to(pmask1[0][None], (Lb, pmask1.shape[1]))
-        link = link_fn(jnp.asarray(tubes), jnp.asarray(scores), prop_mask,
-                       jnp.asarray(clip_mask))
-        paths = np.asarray(link["paths"])             # [C, K, Lb]
-        trim = np.asarray(link["trim"])               # [C, K, Lb]
-        tube_scores = np.asarray(link["tube_scores"])  # [C, K]
+            # bucket the clip axis to the next power of two
+            Lb = 1
+            while Lb < L:
+                Lb *= 2
+            if Lb > L:
+                tubes = np.concatenate(
+                    [tubes, np.repeat(tubes[-1:], Lb - L, axis=0)], axis=0)
+                scores = np.concatenate(
+                    [scores, np.repeat(scores[-1:], Lb - L, axis=0)], axis=0)
+            clip_mask = np.zeros((Lb,), np.float32)
+            clip_mask[:L] = 1.0
+            prop_mask = jnp.broadcast_to(pmask1[0][None], (Lb, pmask1.shape[1]))
+            link = link_fn(jnp.asarray(tubes), jnp.asarray(scores), prop_mask,
+                           jnp.asarray(clip_mask))
+            paths = np.asarray(link["paths"])             # [C, K, Lb]
+            trim = np.asarray(link["trim"])               # [C, K, Lb]
+            tube_scores = np.asarray(link["tube_scores"])  # [C, K]
 
-        sx = sy = 1.0
-        if image_scale_to_gt and hasattr(dataset, "resolution"):
-            H, W = dataset.resolution.get(video, (cfg.image_size, cfg.image_size))
-            sx, sy = W / cfg.image_size, H / cfg.image_size
-        scale = np.asarray([sx, sy, sx, sy], np.float32)
+            sx = sy = 1.0
+            if image_scale_to_gt and hasattr(dataset, "resolution"):
+                H, W = dataset.resolution.get(video, (cfg.image_size, cfg.image_size))
+                sx, sy = W / cfg.image_size, H / cfg.image_size
+            scale = np.asarray([sx, sy, sx, sy], np.float32)
 
-        C, K = tube_scores.shape
-        for c in range(C):
-            for k in range(K):
-                if tube_scores[c, k] < cfg.score_thresh:
-                    continue
-                frames = {}
-                for l in range(L):
-                    if trim[c, k, l] <= 0:
+            C, K = tube_scores.shape
+            for c in range(C):
+                for k in range(K):
+                    if tube_scores[c, k] < cfg.score_thresh:
                         continue
-                    p = paths[c, k, l]
-                    # owned central-chunk frames, plus the video-boundary
-                    # extension frames no clip owns (the first/last clips'
-                    # lead-in/tail) — same convention as collect_detections;
-                    # without them the first and last tc0 frames of every
-                    # video are unreachable, capping tube ST-IoU.
-                    t_lo = 0 if l == 0 else tc0
-                    t_hi = T if l == L - 1 else tc0 + fpc
-                    for t in range(t_lo, t_hi):
-                        f = int(frame_ids[l][t]) + 1   # 1-based like GT
-                        if f not in frames:
-                            frames[f] = tubes[l, p, t] * scale
-                if len(frames) >= min_length:
-                    out.append((video, c, float(tube_scores[c, k]), frames))
+                    frames = {}
+                    for l in range(L):
+                        if trim[c, k, l] <= 0:
+                            continue
+                        p = paths[c, k, l]
+                        # owned central-chunk frames, plus the video-boundary
+                        # extension frames no clip owns (the first/last clips'
+                        # lead-in/tail) — same convention as collect_detections;
+                        # without them the first and last tc0 frames of every
+                        # video are unreachable, capping tube ST-IoU.
+                        t_lo = 0 if l == 0 else tc0
+                        t_hi = T if l == L - 1 else tc0 + fpc
+                        for t in range(t_lo, t_hi):
+                            f = int(frame_ids[l][t]) + 1   # 1-based like GT
+                            if f not in frames:
+                                frames[f] = tubes[l, p, t] * scale
+                    if len(frames) >= min_length:
+                        out.append((video, c, float(tube_scores[c, k]), frames))
+    finally:
+        pool.shutdown(wait=False)
     return out
 
 
@@ -494,12 +539,25 @@ def evaluate_ucf(
     surface (twice total); parity with the host linker is tested in
     tests/test_eval.py.
     """
+    coverage = {} if max_batches is not None else None
     detections = dedupe_frame_detections(
         collect_detections(variables, dataset, cfg, model,
                            max_batches=max_batches, mesh=mesh,
-                           variables_flow=variables_flow)
+                           variables_flow=variables_flow, coverage=coverage)
     )
     frame_gt, tube_gt = dataset.video_groundtruth()
+    if coverage is not None:
+        # A truncated pass must be scored against only the GT it could have
+        # seen: unseen frames'/videos' GT would otherwise count as misses
+        # and cap the printed mAP at roughly (clips seen)/(clips total)
+        # regardless of model quality (the in-train --eval-max-batches
+        # numbers). Frame level is exact; video level is filtered to
+        # touched videos (the boundary video may be partially covered —
+        # one video of noise, flagged via "eval_subset" in the result).
+        fkeys = coverage.get("fkeys", set())
+        vids = coverage.get("videos", set())
+        frame_gt = [g for g in frame_gt if g[0] in fkeys]
+        tube_gt = [t for t in tube_gt if t[0] in vids]
     if fit_calibration_path:
         from step_tpu.eval.calibration import fit_calibration
 
@@ -528,9 +586,24 @@ def evaluate_ucf(
                                          variables_flow=variables_flow,
                                          mesh=mesh, calibration=calibration)
         pred_tubes = tube_nms(pred_tubes, cfg.tube_nms_thresh)
+        if max_videos is not None:
+            # this pass bounds WHOLE videos (first max_videos in dataset
+            # order — collect_video_tubes's grouping); score against
+            # exactly that subset's tube GT
+            seen, dev_vids = set(), []
+            for v, _c in dataset.samples:
+                if v not in seen:
+                    seen.add(v)
+                    dev_vids.append(v)
+            dev_vids = set(dev_vids[:max_videos])
+            tube_gt = [t for t in tube_gt if t[0] in dev_vids]
+            results["eval_subset"] = f"{len(dev_vids)} videos"
     else:
         pred_tubes = tube_nms(link_frame_detections(detections),
                               cfg.tube_nms_thresh)
+        if coverage is not None:
+            results["eval_subset"] = (
+                f"{len(coverage.get('videos', ()))} videos touched")
     for thresh in (0.2, 0.5):
         results[f"video_mAP@{thresh}"] = video_map(
             pred_tubes, tube_gt, cfg.num_classes, thresh

@@ -103,6 +103,45 @@ def test_ucf_edge_clamping(ucf_root):
     assert len(idx) == CFG.total_frames
 
 
+def test_ucf_orphan_short_tube_is_supervised(tmp_path):
+    # A GT tube whose annotated frames miss EVERY clip center (short action
+    # between centers) must still supervise exactly one clip — the one
+    # whose center is nearest its span — instead of silently vanishing
+    # from training while video_groundtruth still counts it at eval.
+    n = 20
+    # fpc=2 -> clip centers are the odd 0-based frames; a single-frame tube
+    # at an even 0-based index (1-based 5) covers no center
+    frames = np.asarray([5.0])
+    tube = np.stack([frames,
+                     np.full_like(frames, 5.0), np.full_like(frames, 10.0),
+                     np.full_like(frames, 20.0), np.full_like(frames, 30.0)],
+                    axis=-1)
+    gt = {
+        "labels": ["Run", "Jump", "Wave"],
+        "train_videos": [["Run/v1"]],
+        "test_videos": [["Run/v1"]],
+        "nframes": {"Run/v1": n},
+        "gttubes": {"Run/v1": {0: [tube]}},
+        "resolution": {"Run/v1": (48, 64)},
+    }
+    with open(os.path.join(tmp_path, "UCF101v2-GT.pkl"), "wb") as f:
+        pickle.dump(gt, f)
+    ds = UCFDataset(str(tmp_path), CFG, split="train")
+    centers = [c for v, c in ds.samples]
+    assert all(int(c) + 1 not in frames for c in centers)  # truly orphaned
+    masks = []
+    for c in centers:
+        fi = ds.clip_frame_indices("Run/v1", c)
+        _, labels, mask = ds._gt_for_frames("Run/v1", fi)
+        masks.append(float(mask.sum()))
+    assert sum(masks) == 1.0                     # exactly one clip owns it
+    med = float(np.median(frames - 1))
+    nearest = int(np.argmin([abs(c - med) for c in centers]))
+    assert masks[nearest] == 1.0
+    _, tube_gt = ds.video_groundtruth()
+    assert len(tube_gt) == 1                     # eval still counts it
+
+
 def test_ucf_video_groundtruth(ucf_root):
     ds = UCFDataset(ucf_root, CFG, split="train")
     frame_gt, tube_gt = ds.video_groundtruth()

@@ -127,6 +127,36 @@ def test_link_tubes_stride_aligned_transition():
     np.testing.assert_array_equal(np.asarray(out["paths"][0, 0]), [0, 0])
 
 
+def test_link_tubes_k_suppress_iou_finds_second_actor():
+    # P proposals usually hold several refined near-copies of each actor.
+    # Node-disjointness alone lets path 2 re-link actor A through its
+    # duplicate slot (higher score than actor B); suppress_iou invalidates
+    # overlapping same-clip nodes so path 2 finds the OTHER actor.
+    from step_tpu.tubes.linking import link_tubes_k
+
+    L, P, T = 2, 3, 4
+    tubes = np.zeros((L, P, T, 4), np.float32)
+    tubes[:, 0] = [10, 10, 30, 30]            # actor A
+    tubes[:, 1] = [11, 11, 31, 31]            # near-duplicate of A
+    tubes[:, 2] = [60, 60, 80, 80]            # actor B, far away
+    scores = np.broadcast_to(
+        np.asarray([0.9, 0.8, 0.5], np.float32), (L, P)).copy()
+
+    plain = link_tubes_k(jnp.asarray(tubes), jnp.asarray(scores), k=2)
+    np.testing.assert_array_equal(np.asarray(plain["paths"]),
+                                  [[0, 0], [1, 1]])   # duplicate tube
+
+    sup = link_tubes_k(jnp.asarray(tubes), jnp.asarray(scores), k=2,
+                       suppress_iou=0.5)
+    np.testing.assert_array_equal(np.asarray(sup["paths"]),
+                                  [[0, 0], [2, 2]])   # second actor
+    # suppressed-and-exhausted paths must not resurrect: k=3 third path has
+    # no valid nodes left (slot 1 suppressed, 0/2 used) -> killed
+    sup3 = link_tubes_k(jnp.asarray(tubes), jnp.asarray(scores), k=3,
+                        suppress_iou=0.5)
+    assert float(np.asarray(sup3["tube_scores"])[2]) == 0.0
+
+
 def test_link_tubes_prefers_high_scores():
     L, P, T = 4, 3, 2
     rng = np.random.RandomState(0)

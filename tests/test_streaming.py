@@ -277,3 +277,20 @@ def test_device_linking_calibration_applied_before_linking():
         np.testing.assert_allclose(
             s_b, 1.0 / (1.0 + np.exp(-np.clip(s_a, -30, 30))), atol=5e-3)
         assert abs(s_b - s_a) > 1e-3
+
+
+def test_collectors_reject_temporal_stride():
+    # the sliding-window ownership/alignment protocol is defined in
+    # per-frame units; a temporal_stride != 1 config must fail loudly
+    # rather than silently corrupt mAPs
+    import dataclasses
+
+    import pytest
+
+    from step_tpu.evaluate import collect_detections, collect_video_tubes
+
+    cfg2 = dataclasses.replace(CFG, temporal_stride=2)
+    with pytest.raises(ValueError, match="temporal_stride"):
+        collect_video_tubes(None, None, cfg2)
+    with pytest.raises(ValueError, match="temporal_stride"):
+        collect_detections(None, None, cfg2)
