@@ -518,6 +518,7 @@ def detect_video(
     model: Optional[STEPDetector] = None,
     flow: Optional[jnp.ndarray] = None,
     clip_mask: Optional[jnp.ndarray] = None,   # [L] — 0 marks padded clips
+    tiling_stride: Optional[int] = None,
 ):
     """Streaming inference (BASELINE config 4): detect every clip (batched),
     then link per-clip tubes into K video tubes per class on device
@@ -526,6 +527,12 @@ def detect_video(
     `clip_mask` supports length-bucketed videos: padded clip slots (repeat
     of the last real clip) contribute nothing to the link values and are
     always trimmed out of the active runs.
+
+    `tiling_stride`: video-frame stride between consecutive clips. The
+    default (None) is the NON-overlapping tiling demo.py produces
+    (transition IoU = last box vs first box); sliding-window callers must
+    pass their stride so transitions compare temporally aligned boxes
+    (tubes/linking.py).
 
     Returns dict with per-clip detections plus (K = cfg.link_tubes_per_class):
       link_paths       [C, K, L] int32 — tube index per clip
@@ -540,6 +547,9 @@ def detect_video(
     link = link_tubes_multiclass_k(
         det["tubes"], det["tube_scores"], prop_mask, cfg.link_iou_weight,
         cfg.link_tubes_per_class, cfg.link_trim_thresh, clip_mask,
+        stride=tiling_stride,
+        suppress_iou=(cfg.link_suppress_iou
+                      if cfg.link_suppress_iou > 0 else None),
     )
     det["link_paths"] = link["paths"]
     det["link_scores"] = link["values"]
@@ -551,8 +561,10 @@ def detect_video(
 def make_detect_video_fn(cfg: StepConfig, model: Optional[STEPDetector] = None):
     model = model or STEPDetector(cfg)
 
-    @jax.jit
-    def _detect(variables, clips, flow=None, clip_mask=None):
-        return detect_video(variables, clips, cfg, model, flow, clip_mask)
+    @functools.partial(jax.jit, static_argnames=("tiling_stride",))
+    def _detect(variables, clips, flow=None, clip_mask=None,
+                tiling_stride=None):
+        return detect_video(variables, clips, cfg, model, flow, clip_mask,
+                            tiling_stride)
 
     return _detect

@@ -129,6 +129,11 @@ def optimize_for_inference(
     out = fold_bn_variables(variables)
     if fuse_inception:
         out = fuse_inception_variables(out)
+    # scan_unroll: serving programs compile once (persistent cache) and the
+    # unrolled refinement loop drops the scan's carry materialization —
+    # measured 455.8 vs 448.8 clips/s at B=128 (scripts/bench_unroll.py,
+    # bit-exact: max |Δscores| = 0 — same stacked per-step params, indexed
+    # instead of scanned).
     cfg_opt = cfg.replace(bn_folded=True, fused_inception=fuse_inception,
-                          fused_bn_relu=False)
+                          fused_bn_relu=False, scan_unroll=True)
     return cfg_opt, out
