@@ -651,6 +651,7 @@ def evaluate_ava(
 
     kf = cfg.total_frames // 2
     detections = []
+    seen_keys = set()          # keyframes evaluated (max_batches truncation)
     for bi, batch in enumerate(loader.epoch(0)):
         if max_batches is not None and bi >= max_batches:
             break
@@ -669,6 +670,7 @@ def evaluate_ava(
         mask = np.asarray(out["frame_mask"])[:, kf]
         for b, meta in enumerate(batch["meta"]):
             key = (meta["video"], meta["timestamp"])
+            seen_keys.add(key)
             keep = np.argwhere((mask[b] > 0) & (scores[b] > cfg.score_thresh))
             for c, k in keep:
                 detections.append(
@@ -679,4 +681,9 @@ def evaluate_ava(
         with open(dump_path, "wb") as f:
             pickle.dump({"detections": detections}, f)
     gt = dataset.groundtruth()
+    if max_batches is not None:
+        # score a truncated pass against only the keyframes it saw — GT of
+        # unseen keyframes would otherwise cap the printed mAP at the
+        # fraction of the split covered (same rationale as evaluate_ucf)
+        gt = [g for g in gt if g[0] in seen_keys]
     return {"frame_mAP@0.5": ava_frame_map(detections, gt, cfg.num_classes)["mAP"]}

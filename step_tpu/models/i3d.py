@@ -236,6 +236,24 @@ def max_pool_3d(x, window: Tuple[int, int, int], stride: Tuple[int, int, int]):
                 x, -jnp.inf, jax.lax.max, tuple(dims), tuple(strides), "SAME"
             )
         return x
+    if _POOL3D_IMPL == "cheap27" and stride == (1, 1, 1):
+        # 27-offset joint backward (kept for A/B: 247.0 ms/step — the +-1
+        # shifts on the tiny 7x7 tail spatial dims each cost a relayout)
+        from step_tpu.ops.pool3d_grad import max_pool_3d_cheapgrad
+
+        return max_pool_3d_cheapgrad(x, window, stride)
+    if _POOL3D_IMPL != "sas" and stride == (1, 1, 1):
+        # DEFAULT for stride-1 pools (the tail pools inside the refinement
+        # scan): single fused reduce_window forward at inference (identical
+        # program), separable shift-and-compare backward under grad —
+        # select-and-scatter's backward measured ~45 ms of a 218 ms train
+        # step at B=16, this path 219.6 vs 255.0 ms/step (+16% train
+        # throughput; ops/pool3d_grad.py has the full A/B). Strided pools
+        # KEEP select-and-scatter: shifted input-sized reads lose badly on
+        # the large strided stem pools (375 ms/step all-cheapgrad A/B).
+        from step_tpu.ops.pool3d_grad import max_pool_3d_s1_sepgrad
+
+        return max_pool_3d_s1_sepgrad(x, window)
     dims = (1, *window, 1)
     strides = (1, *stride, 1)
     return jax.lax.reduce_window(
