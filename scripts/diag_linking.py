@@ -84,7 +84,9 @@ def dump(args):
             pad = CB - len(chunk)
             batch = np.stack(chunk + [chunk[-1]] * pad)
             if cfg.uint8_transfer:
-                batch = (np.clip(batch, 0, 1) * 255.0 + 0.5).astype(np.uint8)
+                from step_tpu.data.pipeline import rgb_to_uint8_wire
+
+                batch = rgb_to_uint8_wire(batch)   # the ONE wire quantizer
             det = detect(variables, jnp.asarray(batch), props, pmask)
             n = len(chunk)
             tubes.append(np.asarray(det["tubes"])[:n])
@@ -172,6 +174,11 @@ def host_tubes_from_dump(cfg, dump_store, videos):
         fm = dump_store[f"{video}/frame_mask"]
         fids = dump_store[f"{video}/frame_ids"]
         for b in range(fb.shape[0]):
+            # GEOMETRIC ownership, matching collect_detections: every
+            # central-chunk frame is owned whether or not a detection
+            # passed threshold there
+            for t in range(tc0, tc0 + fpc):
+                owned.add((video, int(fids[b][t]) + 1))
             keep = np.argwhere((fm[b] > 0) & (fs[b] > cfg.score_thresh))
             for t, c, k in keep:
                 fkey = (video, int(fids[b][t]) + 1)
@@ -179,8 +186,6 @@ def host_tubes_from_dump(cfg, dump_store, videos):
                 det_list.append((fkey, int(c), float(fs[b, t, c, k]),
                                  fb[b, t, c, k]))
                 det_central.append(central)
-                if central:
-                    owned.add(fkey)
     dets = [d for d, cen in zip(det_list, det_central)
             if cen or d[0] not in owned]
     return link_frame_detections(dedupe_frame_detections(dets))
@@ -203,18 +208,23 @@ def analyze(args):
                                            thr)["mAP"]), 4)
                 for thr in (0.2, 0.5)}
 
+    # PRODUCTION defaults (incl. suppress_iou — the fix this tool found);
+    # ablations strip one ingredient each
     base_kwargs = dict(link_iou_weight=cfg.link_iou_weight,
                        k=cfg.link_tubes_per_class,
                        trim_thresh=cfg.link_trim_thresh,
-                       stride=cfg.frames_per_chunk)
+                       stride=cfg.frames_per_chunk,
+                       suppress_iou=(cfg.link_suppress_iou
+                                     if cfg.link_suppress_iou > 0 else None))
     host = host_tubes_from_dump(cfg, store, videos)
     variants = {
         "host_greedy(sanity)": host,
         "host_greedy+tube_nms": tube_nms(host, 0.3),
         "device_current": assemble_device_tubes(
             cfg, store, videos, base_kwargs, cfg.score_thresh),
-        "device+tube_nms": tube_nms(assemble_device_tubes(
-            cfg, store, videos, base_kwargs, cfg.score_thresh), 0.3),
+        "device_no_suppress": assemble_device_tubes(
+            cfg, store, videos, {**base_kwargs, "suppress_iou": None},
+            cfg.score_thresh),
         "device_k1": assemble_device_tubes(
             cfg, store, videos, {**base_kwargs, "k": 1}, cfg.score_thresh),
         "device_no_stride(last_first)": assemble_device_tubes(
@@ -224,15 +234,12 @@ def analyze(args):
             cfg, store, videos, {**base_kwargs, "trim_thresh": -1.0},
             cfg.score_thresh),
     }
-    for si in (0.3, 0.5, 0.7):
+    for si in (0.3, 0.7):
         variants[f"device_suppress{si}"] = assemble_device_tubes(
             cfg, store, videos, {**base_kwargs, "suppress_iou": si},
             cfg.score_thresh)
-    variants["device_suppress0.5+tube_nms"] = tube_nms(
-        variants["device_suppress0.5"], 0.3)
-    for tn in (0.2, 0.5):
-        variants[f"device+tube_nms{tn}"] = tube_nms(
-            variants["device_current"], tn)
+    variants["device_current+tube_nms"] = tube_nms(
+        variants["device_current"], 0.3)
     report = {}
     for name, tubes in variants.items():
         report[name] = {"mAP": m(tubes), "n_tubes": len(tubes)}

@@ -87,11 +87,6 @@ def main():
 
     model = STEPDetector(cfg)
     mesh = create_mesh((1,), cfg.mesh_axes)
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
-        state = create_train_state(cfg, jax.random.PRNGKey(args.seed), model)
-    state = jax.device_put(state, replicated_sharding(mesh))
-    pstep = make_parallel_train_step(cfg, model, mesh)
     rng = jax.random.PRNGKey(args.seed + 1)
 
     def model_batch(seed):
@@ -112,6 +107,15 @@ def main():
             variables = serialization.msgpack_restore(f.read())
         variables = jax.device_put(variables, replicated_sharding(mesh))
     else:
+        # train state only when training — the relay's real upload rate is
+        # ~43 MB/s, so a dead params+optimizer upload in --load-variables
+        # mode would cost tens of seconds for nothing
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            state = create_train_state(cfg, jax.random.PRNGKey(args.seed),
+                                       model)
+        state = jax.device_put(state, replicated_sharding(mesh))
+        pstep = make_parallel_train_step(cfg, model, mesh)
         for step in range(args.steps):
             batch = model_batch(args.seed * 1000 + step * cfg.batch_size)
             state, metrics = pstep(state, batch, rng)
@@ -195,7 +199,10 @@ def main():
                             num_classes=cfg.num_classes,
                             max_boxes=cfg.max_gt_tubes),
             num_videos=args.video_eval, num_windows=W, window_frames=T,
-            stride=fpc, seed=20_000_000)
+            stride=fpc, seed=20_000_000,
+            # two-stream / flow-stream detectors need the flow channel in
+            # the video-eval windows too
+            with_flow=cfg.two_stream or cfg.input_stream == "flow")
         gt = vds.video_gt()
         # host path: per-frame detections → greedy temporal linking
         dets = collect_detections(variables, vds, cfg, model,

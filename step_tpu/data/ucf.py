@@ -122,6 +122,11 @@ class UCFDataset:
             centers = self._centers_by_video.get(video)
             owners = {}
             if centers is not None and len(centers):
+                # EFFECTIVE centers: `_gt_for_frames` compares against
+                # frame_idx[T//2], which is edge-clamped — for a video
+                # shorter than frames_per_chunk//2 + 1 the nominal center
+                # exceeds nframes-1 and would never match
+                centers = np.minimum(centers, self.nframes[video] - 1)
                 for cls, tubes in self.gttubes.get(video, {}).items():
                     for ti, tube in enumerate(tubes):
                         frames0 = tube[:, 0].astype(np.int64) - 1

@@ -266,7 +266,10 @@ def collect_video_tubes(
         return link_tubes_multiclass_k(
             tubes, scores, prop_mask, cfg.link_iou_weight,
             cfg.link_tubes_per_class, cfg.link_trim_thresh, clip_mask,
-            stride=cfg.frames_per_chunk // cfg.temporal_stride,
+            # one chunk, in TUBE-SLOT units — equal to video frames only
+            # because the temporal_stride==1 guard above holds; relaxing
+            # that guard requires revisiting the ownership math too
+            stride=cfg.frames_per_chunk,
             suppress_iou=(cfg.link_suppress_iou
                           if cfg.link_suppress_iou > 0 else None),
         )
@@ -546,6 +549,7 @@ def evaluate_ucf(
                            variables_flow=variables_flow, coverage=coverage)
     )
     frame_gt, tube_gt = dataset.video_groundtruth()
+    tube_gt_all = tube_gt
     if coverage is not None:
         # A truncated pass must be scored against only the GT it could have
         # seen: unseen frames'/videos' GT would otherwise count as misses
@@ -596,7 +600,11 @@ def evaluate_ucf(
                     seen.add(v)
                     dev_vids.append(v)
             dev_vids = set(dev_vids[:max_videos])
-            tube_gt = [t for t in tube_gt if t[0] in dev_vids]
+            # filter the ORIGINAL tube GT: this pass's subset is defined by
+            # dev_vids alone — intersecting with the detection pass's
+            # coverage (whose max_batches may span fewer/other videos)
+            # would score the extra videos' tubes as pure FPs
+            tube_gt = [t for t in tube_gt_all if t[0] in dev_vids]
             results["eval_subset"] = f"{len(dev_vids)} videos"
     else:
         pred_tubes = tube_nms(link_frame_detections(detections),

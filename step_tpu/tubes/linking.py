@@ -182,6 +182,11 @@ def link_tubes_k(
     Temporal termination: each path's per-clip score sequence minus
     `trim_thresh` is trimmed to its maximal-sum contiguous run, so a tube
     occupies only the clips where its evidence exceeds the threshold.
+    Clips whose valid tubes were exhausted by earlier paths/suppression
+    are trimmed the same way (the forced re-used node there is never
+    emitted), so a second actor survives a single collapsed clip instead
+    of the whole path being killed; only a path with NO fresh clip at all
+    scores 0.
 
     Returns dict:
       paths  [K, L] int32 — tube index per clip
@@ -207,29 +212,39 @@ def link_tubes_k(
         masked = jnp.where(valid_carry > 0, scores, NEG)
         masked = jnp.where(clip_mask[:, None] > 0, masked, 0.0)
         path, value = _viterbi(masked, trans, link_iou_weight)
+        # was THIS clip's chosen node still unused? An exhausted clip (all
+        # valid nodes consumed by earlier paths/suppression) forces the
+        # path through a used node there — that CLIP must be trimmed out,
+        # not the whole path: a real second actor may simply have no free
+        # proposal in one clip (e.g. refinement collapsed every cuboid
+        # onto the dominant actor for that window).
+        sel_fresh = jnp.take_along_axis(
+            valid_carry, path[:, None], axis=1)[:, 0] > 0   # [L]
         new_valid = valid_carry.at[jnp.arange(L), path].set(0.0)
         if suppress_iou is not None:
             overlap = intra[jnp.arange(L), path]           # [L, P]
             new_valid = jnp.where(overlap > suppress_iou, 0.0, new_valid)
         chosen = jnp.take_along_axis(scores, path[:, None], axis=1)[:, 0]
-        return new_valid, (path, value, chosen)
+        return new_valid, (path, value, chosen, sel_fresh)
 
-    _, (paths, values, chosen) = jax.lax.scan(one, valid, None, length=k)
+    _, (paths, values, chosen, fresh) = jax.lax.scan(one, valid, None,
+                                                     length=k)
 
-    # Exhaustion guard: once suppression has used every valid node of some
-    # clip (k exceeds that clip's valid tube count), the next Viterbi pass
-    # is forced through a suppressed node (value picks up a NEG) yet
-    # `chosen` would still read that node's ORIGINAL score — emitting a
-    # duplicate tube. Kill such paths outright.
-    alive = (values > 0.5 * NEG).astype(jnp.float32)         # [K]
-
-    # Temporal trim: padded clips always fall below threshold.
-    trim_in = jnp.where(clip_mask[None, :] > 0,
-                        chosen - trim_thresh, -2.0 * abs(trim_thresh) - 1e-3)
-    trim, _ = jax.vmap(max_subarray_mask)(trim_in)
+    # Temporal trim. Padded clips and exhausted-clip selections get a
+    # penalty large enough that Kadane can never bridge one between two
+    # strong real clips — a re-used node must never be emitted. A path
+    # whose every clip is padded/exhausted (k exceeded the clip's valid
+    # tube count everywhere) trims to nothing and scores 0.
+    DEAD = -1e6
+    trim_in = jnp.where((clip_mask[None, :] > 0) & fresh,
+                        chosen - trim_thresh, DEAD)
+    trim, best = jax.vmap(max_subarray_mask)(trim_in)
+    # max_subarray_mask always keeps >= 1 element; zero the row when even
+    # its best element is a dead slot
+    alive = (best > 0.5 * DEAD).astype(trim.dtype)           # [K]
     trim = trim * alive[:, None]
     n_active = jnp.maximum(jnp.sum(trim, axis=1), 1.0)
-    tube_scores = jnp.sum(chosen * trim, axis=1) / n_active * alive
+    tube_scores = jnp.sum(chosen * trim, axis=1) / n_active
     return {"paths": paths, "values": values, "trim": trim,
             "tube_scores": tube_scores}
 

@@ -142,6 +142,38 @@ def test_ucf_orphan_short_tube_is_supervised(tmp_path):
     assert len(tube_gt) == 1                     # eval still counts it
 
 
+def test_ucf_orphan_short_video_clamped_center(tmp_path):
+    # Videos shorter than frames_per_chunk//2 + 1: the nominal clip center
+    # exceeds nframes-1, and _gt_for_frames compares the edge-CLAMPED
+    # center — the orphan designation must use the same effective center
+    # or such videos lose ALL supervision.
+    import dataclasses
+
+    cfg8 = dataclasses.replace(CFG, frames_per_chunk=8)
+    n = 3
+    frames = np.asarray([1.0, 2.0])              # 1-based; 0-based {0,1}
+    tube = np.stack([frames,
+                     np.full_like(frames, 5.0), np.full_like(frames, 10.0),
+                     np.full_like(frames, 20.0), np.full_like(frames, 30.0)],
+                    axis=-1)
+    gt = {
+        "labels": ["Run", "Jump", "Wave"],
+        "train_videos": [["Run/v1"]],
+        "test_videos": [["Run/v1"]],
+        "nframes": {"Run/v1": n},
+        "gttubes": {"Run/v1": {0: [tube]}},
+        "resolution": {"Run/v1": (48, 64)},
+    }
+    with open(os.path.join(tmp_path, "UCF101v2-GT.pkl"), "wb") as f:
+        pickle.dump(gt, f)
+    ds = UCFDataset(str(tmp_path), cfg8, split="train")
+    assert len(ds.samples) == 1                  # one clip, nominal center 4
+    v, c = ds.samples[0]
+    fi = ds.clip_frame_indices(v, c)
+    _, _, mask = ds._gt_for_frames(v, fi)
+    assert mask.sum() == 1.0                     # clamped-center clip owns it
+
+
 def test_ucf_video_groundtruth(ucf_root):
     ds = UCFDataset(ucf_root, CFG, split="train")
     frame_gt, tube_gt = ds.video_groundtruth()

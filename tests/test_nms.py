@@ -155,6 +155,31 @@ def test_link_tubes_k_suppress_iou_finds_second_actor():
     sup3 = link_tubes_k(jnp.asarray(tubes), jnp.asarray(scores), k=3,
                         suppress_iou=0.5)
     assert float(np.asarray(sup3["tube_scores"])[2]) == 0.0
+    assert float(np.asarray(sup3["trim"])[2].sum()) == 0.0
+
+
+def test_link_tubes_k_exhausted_clip_trims_not_kills():
+    # A real second actor whose proposals in ONE clip all collapsed onto
+    # actor A (so suppression exhausts that clip) must survive with the
+    # collapsed clip trimmed out — not have its whole path killed — and
+    # the re-used node of the exhausted clip must never be emitted.
+    from step_tpu.tubes.linking import link_tubes_k
+
+    L, P, T = 3, 2, 4
+    tubes = np.zeros((L, P, T, 4), np.float32)
+    tubes[:, 0] = [10, 10, 30, 30]            # actor A, all clips
+    tubes[0, 1] = [60, 60, 80, 80]            # actor B, clip 0
+    tubes[2, 1] = [60, 60, 80, 80]            # actor B, clip 2
+    tubes[1, 1] = [11, 11, 31, 31]            # clip 1: slot 1 collapsed on A
+    scores = np.asarray([[0.9, 0.6], [0.9, 0.55], [0.9, 0.6]], np.float32)
+
+    out = link_tubes_k(jnp.asarray(tubes), jnp.asarray(scores), k=2,
+                       suppress_iou=0.5)
+    trim = np.asarray(out["trim"])
+    ts = np.asarray(out["tube_scores"])
+    assert ts[1] > 0.0                        # path 2 survives
+    assert trim[1, 1] == 0.0                  # exhausted clip trimmed out
+    assert trim[1].sum() >= 1.0               # at least one fresh clip kept
 
 
 def test_link_tubes_prefers_high_scores():
