@@ -1,0 +1,127 @@
+"""Batch-size re-sweep + compiler-option A/B on the OPTIMIZED serving program.
+
+The round-2 batch sweep (VALIDATION.md) picked B=128 on the pre-optimization
+program (393 clips/s). The serving program has since changed shape — BN fold,
+fused Inception 1x1, one-hot NMS surfaces, unrolled scan — so the sweet spot
+may have moved. This re-sweeps B and then A/Bs XLA compiler options at the
+best B, passed per-compile via ``lowered.compile(compiler_options=...)`` so
+they survive the relay's remote-compile path (process-level XLA_FLAGS may
+not).
+
+Full-program chained methodology (CLAUDE.md): data-dependent proposal chain,
+one readback. Run on the TPU with no other chip user.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from step_tpu.config import PRESETS
+from step_tpu.inference import detect_clip
+from step_tpu.models.detector import STEPDetector
+from step_tpu.models.optimize import optimize_for_inference
+from step_tpu.utils.compile_cache import enable_compile_cache
+from step_tpu.utils.init import init_detector_cpu
+
+enable_compile_cache()
+
+ITERS = 20
+
+
+def chained(detect, variables, rgb, proposals, prop_mask, iters=ITERS):
+    out = detect(variables, rgb, proposals, prop_mask)
+    _ = float(jnp.sum(out["tube_scores"]))
+    t0 = time.time()
+    props = proposals
+    for _ in range(iters):
+        out = detect(variables, rgb, props, prop_mask)
+        props = out["tubes"]
+    _ = float(jnp.sum(out["tube_scores"]))
+    return (time.time() - t0) / iters
+
+
+def run(tag, cfg, variables, batch, device, compiler_options=None):
+    model = STEPDetector(cfg)
+    rng = np.random.RandomState(0)
+    rgb = jax.device_put(
+        jnp.asarray(
+            rng.rand(batch, cfg.total_frames, cfg.image_size, cfg.image_size, 3),
+            jnp.float32,
+        ),
+        device,
+    )
+    proposals, prop_mask = STEPDetector.initial_proposals(cfg, batch)
+    v = jax.device_put(variables, device)
+    proposals, prop_mask = jax.device_put((proposals, prop_mask), device)
+
+    def _detect(variables, rgb, proposals, prop_mask):
+        return detect_clip(variables, rgb, proposals, prop_mask, cfg, model)
+
+    t0 = time.time()
+    if compiler_options:
+        detect = (
+            jax.jit(_detect)
+            .lower(v, rgb, proposals, prop_mask)
+            .compile(compiler_options=compiler_options)
+        )
+    else:
+        detect = jax.jit(_detect)
+    out = detect(v, rgb, proposals, prop_mask)
+    _ = float(jnp.sum(out["tube_scores"]))
+    compile_s = time.time() - t0
+    dt = chained(detect, v, rgb, proposals, prop_mask)
+    print(
+        f"{tag:28s} B={batch:3d} {batch / dt:8.1f} clips/s {dt * 1e3:8.2f}"
+        f" ms/batch (compile {compile_s:.0f}s)",
+        flush=True,
+    )
+    return dt
+
+
+def main():
+    cfg0 = PRESETS["ucf_3step"]
+    device = jax.devices()[0]
+    variables_std = init_detector_cpu(cfg0, jax.random.PRNGKey(0),
+                                      STEPDetector(cfg0))
+    cfg, variables = optimize_for_inference(cfg0, variables_std)
+
+    import sys
+
+    if "--fuse3-only" in sys.argv or "--all" in sys.argv:
+        # Block-diagonal merged 3x3x3 branch convs (exact, parity-tested):
+        # trades ~1.5x FLOPs-on-zeros for one MXU-shaped GEMM per block in
+        # place of a wide conv plus a reduction-starved (27*32..48) one.
+        run("fuse3=none (current)", cfg, variables, 128, device)
+        for scope in ("tail", "all"):
+            cfg3, vars3 = optimize_for_inference(cfg0, variables_std,
+                                                 fuse_inception3=scope)
+            run(f"fuse3={scope}", cfg3, vars3, 128, device)
+        if "--fuse3-only" in sys.argv:
+            return
+
+    if "--flags-only" not in sys.argv:
+        for b in (96, 128, 160, 192, 256):
+            run(f"optimized B={b}", cfg, variables, b, device)
+
+    # Compiler-option A/B at the headline batch. Scoped VMEM bounds how much
+    # VMEM the fusion emitter may assume per fusion; larger values can admit
+    # deeper fusions on big NDHWC conv+pool blocks (v5e has 128 MiB VMEM).
+    for kib in (32768, 65536, 98304):
+        try:
+            run(
+                f"vmem_limit={kib}KiB",
+                cfg,
+                variables,
+                128,
+                device,
+                compiler_options={"xla_tpu_scoped_vmem_limit_kib": str(kib)},
+            )
+        except Exception as e:  # noqa: BLE001 — option may be rejected
+            print(f"vmem_limit={kib}KiB rejected: {type(e).__name__}: {e}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -98,6 +98,16 @@ class StepConfig:
     #     bn_folded; ReLU commutes with the channel split).
     bn_folded: bool = False
     fused_inception: bool = False
+    #   fused_inception3: additionally merge each block's two 3x3x3 branch
+    #     convs (b1b, b2b) into ONE conv with a block-diagonal kernel over
+    #     the contiguous [b1r | b2r] slice of the fused-1x1 output. Exact
+    #     (the off-diagonal blocks are zeros) but spends ~1.5x the 3x3
+    #     FLOPs on zeros to present one MXU-shaped GEMM instead of a wide
+    #     one plus a reduction-starved one (tail b2b reduces over only
+    #     27*32..48 elements). Scope "tail" targets the per-step Mixed_5b/
+    #     5c blocks (the measured 30-35%-MFU bottleneck); "all" includes
+    #     the stem. Requires fused_inception.
+    fused_inception3: str = "none"      # "none" | "tail" | "all"
     # Run the per-step I3D tail + heads on only the ACTIVE proposal slots
     # (the first num_proposals + gt_jitter_proposals — initial_cuboids_np /
     # build_model_batch place real proposals there by construction) instead
@@ -294,6 +304,13 @@ class StepConfig:
             raise ValueError("fused_inception requires bn_folded (the merged "
                              "1x1x1 conv carries per-branch BN in its "
                              "folded weights)")
+        if self.fused_inception3 not in ("none", "tail", "all"):
+            raise ValueError("fused_inception3 must be 'none', 'tail' or "
+                             f"'all', got {self.fused_inception3!r}")
+        if self.fused_inception3 != "none" and not self.fused_inception:
+            raise ValueError("fused_inception3 requires fused_inception "
+                             "(the merged 3x3x3 conv reads the contiguous "
+                             "[b1r | b2r] slice of the fused-1x1 output)")
         if isinstance(self.freeze_submodules, str):
             # ('features') without the comma, or --set freeze_submodules=
             # features: a plain string makes `in` a SUBSTRING test in the

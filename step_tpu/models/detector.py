@@ -102,6 +102,7 @@ class _StepBody(nn.Module):
             fuse_bn_relu=cfg.fused_bn_relu,
             bn_folded=cfg.bn_folded,
             fused_inception=cfg.fused_inception,
+            fused_inception3=cfg.fused_inception3 in ("tail", "all"),
             conv_impl=cfg.conv3d_impl,
             reg_head=cfg.reg_head,
             cls_bias_init=(
@@ -177,6 +178,7 @@ class STEPDetector(nn.Module):
                            s2d=cfg.stem_s2d, fuse_bn_relu=cfg.fused_bn_relu,
                            bn_folded=cfg.bn_folded,
                            fused_inception=cfg.fused_inception,
+                           fused_inception3=cfg.fused_inception3 == "all",
                            conv_impl=cfg.conv3d_impl,
                            chunk_stem=cfg.chunk_stem,
                            num_chunks=cfg.num_chunks,

@@ -271,12 +271,23 @@ class InceptionBlock(nn.Module):
     ones; exact because ReLU commutes with the channel split and the folded
     BN affines concatenate with the kernels (variables from
     models/optimize.py::fuse_inception_variables).
+
+    `fused_inception3` (inference-only, requires `fused_inception`): the
+    two 3x3x3 branch convs (b1b, b2b) run as ONE conv with a
+    block-diagonal kernel over the contiguous [b1r | b2r] slice of the
+    fused-1x1 output. Exact — the off-diagonal kernel blocks are zeros, so
+    output channels [:c1] see only b1r and [c1:] only b2r — at the price
+    of ~1.5x the 3x3 FLOPs spent multiplying zeros. Motivation: the tail's
+    b2b conv reduces over only 27*32..48 elements (far below MXU depth);
+    merging presents one well-shaped GEMM (variables from
+    models/optimize.py::fuse_inception3_variables).
     """
 
     channels: Sequence[int]  # (b0, b1r, b1, b2r, b2, b3)
     fuse_bn_relu: bool = False
     bn_folded: bool = False
     fused_inception: bool = False
+    fused_inception3: bool = False
     conv_impl: str = "direct"
     dtype: jnp.dtype = jnp.float32
 
@@ -290,6 +301,11 @@ class InceptionBlock(nn.Module):
         if self.fused_inception:
             y = u(c[0] + c[1] + c[3], (1, 1, 1), "b012")(x, train)
             b0 = y[..., : c[0]]
+            if self.fused_inception3:
+                b12 = u(c[2] + c[4], (3, 3, 3), "b12")(y[..., c[0]:], train)
+                b3 = max_pool_3d(x, (3, 3, 3), (1, 1, 1))
+                b3 = u(c[5], (1, 1, 1), "b3b")(b3, train)
+                return jnp.concatenate([b0, b12, b3], axis=-1)
             b1 = y[..., c[0] : c[0] + c[1]]
             b2 = y[..., c[0] + c[1] :]
         else:
@@ -321,6 +337,7 @@ class I3DStem(nn.Module):
     fuse_bn_relu: bool = False
     bn_folded: bool = False
     fused_inception: bool = False
+    fused_inception3: bool = False
     conv_impl: str = "direct"
     dtype: jnp.dtype = jnp.float32
 
@@ -334,7 +351,9 @@ class I3DStem(nn.Module):
         )
         block = lambda ch, name: InceptionBlock(
             ch, fuse_bn_relu=self.fuse_bn_relu, bn_folded=self.bn_folded,
-            fused_inception=self.fused_inception, conv_impl=self.conv_impl,
+            fused_inception=self.fused_inception,
+            fused_inception3=self.fused_inception3,
+            conv_impl=self.conv_impl,
             dtype=self.dtype, name=name
         )
         if self.depth == "tiny":
@@ -373,6 +392,7 @@ class I3DTail(nn.Module):
     fuse_bn_relu: bool = False
     bn_folded: bool = False
     fused_inception: bool = False
+    fused_inception3: bool = False
     conv_impl: str = "direct"
     dtype: jnp.dtype = jnp.float32
 
@@ -380,7 +400,9 @@ class I3DTail(nn.Module):
     def __call__(self, x, train: bool = False):
         block = lambda ch, name: InceptionBlock(
             ch, fuse_bn_relu=self.fuse_bn_relu, bn_folded=self.bn_folded,
-            fused_inception=self.fused_inception, conv_impl=self.conv_impl,
+            fused_inception=self.fused_inception,
+            fused_inception3=self.fused_inception3,
+            conv_impl=self.conv_impl,
             dtype=self.dtype, name=name
         )
         if self.pool_5a:

@@ -42,6 +42,7 @@ class FeatureNet(nn.Module):
     fuse_bn_relu: bool = False
     bn_folded: bool = False
     fused_inception: bool = False
+    fused_inception3: bool = False
     conv_impl: str = "direct"
     # chunk_stem: run the stem independently per chunk (reference BaseNet
     # semantics), folding the chunk axis into batch. Enables the streaming
@@ -65,6 +66,7 @@ class FeatureNet(nn.Module):
                                     fuse_bn_relu=self.fuse_bn_relu,
                                     bn_folded=self.bn_folded,
                                     fused_inception=self.fused_inception,
+                                    fused_inception3=self.fused_inception3,
                                     conv_impl=self.conv_impl,
                                     dtype=self.dtype, name=name)
         feat = self._stem_apply(stem("stem_rgb"), rgb, train)
@@ -111,6 +113,7 @@ class TwoBranchHead(nn.Module):
     fuse_bn_relu: bool = False
     bn_folded: bool = False
     fused_inception: bool = False
+    fused_inception3: bool = False
     conv_impl: str = "direct"
     reg_channels: int = 64          # 1x1 channel reduction before the
                                     # spatially-flattened regression Dense
@@ -134,6 +137,7 @@ class TwoBranchHead(nn.Module):
         x = I3DTail(depth=self.depth, fuse_bn_relu=self.fuse_bn_relu,
                     bn_folded=self.bn_folded,
                     fused_inception=self.fused_inception,
+                    fused_inception3=self.fused_inception3,
                     conv_impl=self.conv_impl, dtype=self.dtype,
                     name="tail")(pooled, train)  # [P,T',7,7,1024]
 

@@ -114,8 +114,56 @@ def fuse_inception_variables(folded: Dict[str, Any]) -> Dict[str, Any]:
     return {"params": walk(folded["params"])}
 
 
+def fuse_inception3_variables(
+    fused: Dict[str, Any], scope: str = "tail"
+) -> Dict[str, Any]:
+    """Merge each InceptionBlock's b1b/b2b 3x3x3 convs into one
+    block-diagonal "b12" conv (off-diagonal kernel blocks zero — exact).
+    Input must already be Inception-1x1-fused (`fuse_inception_variables`).
+
+    scope "tail" rewrites only the Mixed_5* blocks (the per-step tail, the
+    measured low-MFU shapes); "all" rewrites every Inception block. Handles
+    scan-stacked per-step params (leading stack dims) transparently.
+    """
+    if scope not in ("tail", "all"):
+        raise ValueError(f"scope must be 'tail' or 'all', got {scope!r}")
+
+    def walk(p, name=""):
+        if not isinstance(p, dict):
+            return p
+        out = {k: walk(v, k) for k, v in p.items()}
+        in_scope = scope == "all" or name.startswith("Mixed_5")
+        if in_scope and {"b012", "b1b", "b2b", "b3b"}.issubset(out.keys()):
+            c1 = out.pop("b1b")["conv"]
+            c2 = out.pop("b2b")["conv"]
+            k1 = np.asarray(c1["kernel"], np.float32)
+            k2 = np.asarray(c2["kernel"], np.float32)
+            if "bias" not in c1 or "bias" not in c2:
+                raise ValueError(
+                    "fuse_inception3_variables needs BN-folded convs "
+                    "(run fold_bn_variables first)")
+            # kernels are [*stack, 3,3,3, cin, cout]; block-diagonal merge
+            # on the trailing (cin, cout) axes, stack dims broadcast along.
+            lead = k1.shape[:-2]
+            cin1, co1 = k1.shape[-2:]
+            cin2, co2 = k2.shape[-2:]
+            kernel = np.zeros(lead + (cin1 + cin2, co1 + co2), np.float32)
+            kernel[..., :cin1, :co1] = k1
+            kernel[..., cin1:, co1:] = k2
+            out["b12"] = {"conv": {
+                "kernel": kernel,
+                "bias": np.concatenate(
+                    [np.asarray(c1["bias"], np.float32),
+                     np.asarray(c2["bias"], np.float32)], axis=-1),
+            }}
+        return out
+
+    return {"params": walk(fused["params"])}
+
+
 def optimize_for_inference(
-    cfg: StepConfig, variables, fuse_inception: bool = True
+    cfg: StepConfig, variables, fuse_inception: bool = True,
+    fuse_inception3: str = "none",
 ) -> Tuple[StepConfig, Dict[str, Any]]:
     """Standard (cfg, variables) → inference-optimized (cfg', variables').
 
@@ -126,14 +174,19 @@ def optimize_for_inference(
     """
     if cfg.bn_folded:
         raise ValueError("variables for a bn_folded config are already folded")
+    if fuse_inception3 != "none" and not fuse_inception:
+        raise ValueError("fuse_inception3 requires fuse_inception")
     out = fold_bn_variables(variables)
     if fuse_inception:
         out = fuse_inception_variables(out)
+    if fuse_inception3 != "none":
+        out = fuse_inception3_variables(out, scope=fuse_inception3)
     # scan_unroll: serving programs compile once (persistent cache) and the
     # unrolled refinement loop drops the scan's carry materialization —
     # measured 455.8 vs 448.8 clips/s at B=128 (scripts/bench_unroll.py,
     # bit-exact: max |Δscores| = 0 — same stacked per-step params, indexed
     # instead of scanned).
     cfg_opt = cfg.replace(bn_folded=True, fused_inception=fuse_inception,
+                          fused_inception3=fuse_inception3,
                           fused_bn_relu=False, scan_unroll=True)
     return cfg_opt, out

@@ -98,6 +98,50 @@ def test_fused_inception_parity(setup):
                                rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.parametrize("scope", ["tail", "all"])
+def test_fused_inception3_parity(setup, scope):
+    """Block-diagonal merged 3x3x3 conv is exact (off-diagonal kernel
+    blocks are zeros) vs the standard model, at both scopes."""
+    model, variables, rgb, props, pmask = setup
+    ref = model.apply(variables, rgb, props, train=False)
+
+    cfg_opt, vars_opt = optimize_for_inference(CFG, variables,
+                                               fuse_inception3=scope)
+    assert cfg_opt.fused_inception3 == scope
+
+    def check(p, name="", in_tail=False):
+        if not isinstance(p, dict):
+            return
+        in_tail = in_tail or name == "tail" or name.startswith("Mixed_5")
+        if "b012" in p:
+            merged = scope == "all" or in_tail
+            assert ("b12" in p) == merged, (name, scope)
+            assert ("b1b" in p) == (not merged)
+        for k, v in p.items():
+            check(v, k, in_tail)
+
+    check(vars_opt["params"])
+    out = STEPDetector(cfg_opt).apply(vars_opt, rgb, props, train=False)
+    np.testing.assert_allclose(np.asarray(out["cls_logits"]),
+                               np.asarray(ref["cls_logits"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["tubes"]),
+                               np.asarray(ref["tubes"]),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_fused_inception3_requires_fuse(setup):
+    _, variables, *_ = setup
+    with pytest.raises(ValueError):
+        optimize_for_inference(CFG, variables, fuse_inception=False,
+                               fuse_inception3="tail")
+    with pytest.raises(ValueError):
+        CFG.replace(bn_folded=True, fused_inception3="tail")
+    with pytest.raises(ValueError):
+        CFG.replace(bn_folded=True, fused_inception=True,
+                    fused_inception3="bogus")
+
+
 def test_fused_inception_requires_fold(setup):
     _, variables, *_ = setup
     with pytest.raises(ValueError):
