@@ -24,22 +24,23 @@ from step_tpu.models.detector import STEPDetector
 from step_tpu.models.optimize import optimize_for_inference
 from step_tpu.utils.compile_cache import enable_compile_cache
 from step_tpu.utils.init import init_detector_cpu
+from step_tpu.utils.profiling import chained_timer
 
 enable_compile_cache()
 
-ITERS = 20
+ITERS = 30  # match bench.py's methodology exactly
 
 
 def chained(detect, variables, rgb, proposals, prop_mask, iters=ITERS):
-    out = detect(variables, rgb, proposals, prop_mask)
-    _ = float(jnp.sum(out["tube_scores"]))
-    t0 = time.time()
-    props = proposals
-    for _ in range(iters):
-        out = detect(variables, rgb, props, prop_mask)
-        props = out["tubes"]
-    _ = float(jnp.sum(out["tube_scores"]))
-    return (time.time() - t0) / iters
+    # Canonical dependency-chained timing (utils/profiling.chained_timer):
+    # proposals feed back through each detection so the relay cannot
+    # pipeline/memoize, one scalar readback at each end.
+    def step(props):
+        return detect(variables, rgb, props, prop_mask)["tubes"]
+
+    return chained_timer(
+        step, proposals, iters=iters,
+        readback=lambda props: float(jnp.sum(props)))
 
 
 def run(tag, cfg, variables, batch, device, compiler_options=None):

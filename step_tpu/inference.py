@@ -214,6 +214,7 @@ def stem_features(variables, x: jnp.ndarray, cfg: StepConfig,
                       s2d=cfg.stem_s2d, fuse_bn_relu=cfg.fused_bn_relu,
                       bn_folded=cfg.bn_folded,
                       fused_inception=cfg.fused_inception,
+                      fused_inception3=cfg.fused_inception3 == "all",
                       conv_impl=cfg.conv3d_impl, dtype=dtype)
     bs = variables.get("batch_stats", FrozenDict())
     fvars = {"params": variables["params"]["features"]}

@@ -90,9 +90,136 @@ def _layer(sd, name: str):
     return params, stats
 
 
+# ---------------------------------------------------------------------------
+# Key normalization across the public torch-I3D checkpoint families.
+#
+# The released Kinetics checkpoints come in (at least) two namings:
+#   * piergiaj/pytorch-i3d  — CamelCase layers, branches b0/b1a/.../b3b,
+#     batch-norm module named `bn`, classifier under `logits.conv3d`;
+#   * hassony2/kinetics_i3d_pytorch — lowercase layers, branches are
+#     Sequential indices (`branch_1.0`, `branch_1.1`, `branch_3.1`),
+#     batch-norm named `batch3d`, classifier under `conv3d_0c_1x1.conv3d`.
+# `normalize_i3d_state_dict` maps either (plus the already-canonical
+# flat/nested namings used by our from-spec oracle) onto ONE canonical
+# flat naming — `{Layer}.{branch}.conv3d.*` / `{Layer}.{branch}.batch3d.*`
+# — and returns a dry-run report (scheme, mapped/missing/ignored keys) so a
+# real checkpoint's load can be inspected before any weight math runs.
+# ---------------------------------------------------------------------------
+
+# our branch name → source module path per scheme (relative to the block)
+_SCHEME_BRANCHES = {
+    "piergiaj": {
+        "b0": "b0", "b1a": "b1a", "b1b": "b1b",
+        "b2a": "b2a", "b2b": "b2b", "b3b": "b3b",
+    },
+    "hassony2": {
+        "b0": "branch_0", "b1a": "branch_1.0", "b1b": "branch_1.1",
+        "b2a": "branch_2.0", "b2b": "branch_2.1", "b3b": "branch_3.1",
+    },
+    "nested": {
+        "b0": "branch_0.conv3d_0a_1x1",
+        "b1a": "branch_1.conv3d_0a_1x1", "b1b": "branch_1.conv3d_0b_3x3",
+        "b2a": "branch_2.conv3d_0a_1x1", "b2b": "branch_2.conv3d_0b_3x3",
+        "b3b": "branch_3.conv3d_0b_1x1",
+    },
+    "flat": {
+        "b0": "b0", "b1a": "b1a", "b1b": "b1b",
+        "b2a": "b2a", "b2b": "b2b", "b3b": "b3b",
+    },
+}
+# (scheme → (layer-name transform, bn module name, logits prefix))
+_SCHEME_STYLE = {
+    "piergiaj": (lambda n: n, "bn", "logits"),
+    "hassony2": (lambda n: n.lower(), "batch3d", "conv3d_0c_1x1"),
+    "nested": (lambda n: n, "batch3d", "logits"),
+    "flat": (lambda n: n, "batch3d", "logits"),
+}
+
+
+def _detect_scheme(sd: Dict[str, np.ndarray]) -> str:
+    if "conv3d_1a_7x7.conv3d.weight" in sd:
+        return "hassony2"
+    if "Mixed_3b.branch_0.conv3d_0a_1x1.conv3d.weight" in sd:
+        return "nested"
+    if "Mixed_3b.b0.bn.weight" in sd:
+        return "piergiaj"
+    if "Mixed_3b.b0.batch3d.weight" in sd:
+        return "flat"
+    raise KeyError(
+        "unrecognized I3D state_dict naming: found none of the known "
+        "signature keys (hassony2 'conv3d_1a_7x7...', nested "
+        "'Mixed_3b.branch_0.conv3d_0a_1x1...', piergiaj 'Mixed_3b.b0.bn...', "
+        f"flat 'Mixed_3b.b0.batch3d...'); sample keys: {sorted(sd)[:5]}")
+
+
+def normalize_i3d_state_dict(sd: Dict[str, np.ndarray], scheme: str | None = None):
+    """Map any known torch-I3D checkpoint naming onto the canonical flat
+    naming consumed by `convert_torch_i3d`. Returns (canonical_sd, report);
+    `report` is a dict with `scheme`, `mapped` ({src: dst}), `missing`
+    (expected source keys absent), and `ignored` (source keys not consumed,
+    e.g. `num_batches_tracked`) — the key-mapping dry run."""
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    if scheme is None:
+        scheme = _detect_scheme(sd)
+    layer_name, bn_name, logits_prefix = _SCHEME_STYLE[scheme]
+    branches = _SCHEME_BRANCHES[scheme]
+
+    out: Dict[str, np.ndarray] = {}
+    mapped: Dict[str, str] = {}
+    missing = []
+
+    def _take(src: str, dst: str, required: bool = True):
+        if src in sd:
+            out[dst] = sd[src]
+            mapped[src] = dst
+        elif required:
+            missing.append(src)
+
+    def _unit(src_prefix: str, dst_prefix: str):
+        _take(f"{src_prefix}.conv3d.weight", f"{dst_prefix}.conv3d.weight")
+        _take(f"{src_prefix}.conv3d.bias", f"{dst_prefix}.conv3d.bias",
+              required=False)
+        has_bn = f"{src_prefix}.{bn_name}.weight" in sd
+        for ours, theirs in (("weight", "weight"), ("bias", "bias"),
+                             ("running_mean", "running_mean"),
+                             ("running_var", "running_var")):
+            _take(f"{src_prefix}.{bn_name}.{theirs}",
+                  f"{dst_prefix}.batch3d.{ours}", required=has_bn)
+
+    for name in _STEM_LAYERS + _TAIL_LAYERS:
+        src_layer = layer_name(name)
+        if name.startswith("Conv3d"):
+            _unit(src_layer, name)
+        else:
+            for ours, theirs in branches.items():
+                _unit(f"{src_layer}.{theirs}", f"{name}.{ours}")
+    # classifier head (optional — detection fine-tunes drop it)
+    _take(f"{logits_prefix}.conv3d.weight", "logits.conv3d.weight",
+          required=False)
+    _take(f"{logits_prefix}.conv3d.bias", "logits.conv3d.bias",
+          required=False)
+
+    ignored = sorted(set(sd) - set(mapped))
+    report = {"scheme": scheme, "mapped": mapped, "missing": missing,
+              "ignored": ignored}
+    return out, report
+
+
 def convert_torch_i3d(sd: Dict[str, np.ndarray], include_logits: bool = True):
     """torch state_dict → {'params', 'batch_stats'} for `I3DClassifier`
-    (stem/tail submodules named 'stem' and 'tail')."""
+    (stem/tail submodules named 'stem' and 'tail').
+
+    Accepts any naming `normalize_i3d_state_dict` recognizes (piergiaj,
+    hassony2, nested, flat — incl. a `module.` DataParallel prefix) and
+    raises with the normalizer's missing-key list if a checkpoint is
+    structurally incomplete."""
+    sd, report = normalize_i3d_state_dict(sd)
+    if report["missing"]:
+        raise KeyError(
+            f"I3D checkpoint (scheme={report['scheme']!r}) is missing "
+            f"{len(report['missing'])} expected keys, e.g. "
+            f"{report['missing'][:5]}")
     params = {"stem": {}, "tail": {}}
     stats = {"stem": {}, "tail": {}}
     for name in _STEM_LAYERS:

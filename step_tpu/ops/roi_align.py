@@ -66,29 +66,20 @@ def roi_align(
       boxes: [N, 4] x1y1x2y2 in image coordinates.
       pooled_size: output grid side (7 → 7x7 bins).
       spatial_scale: image→feature coordinate scale (1/stride).
-      sampling_ratio: bilinear samples per bin per axis.
+      sampling_ratio: bilinear samples per bin per axis; `<= 0` selects the
+        maskrcnn-benchmark adaptive branch (per-ROI `ceil(roi/bin)` grid,
+        see `roi_sample_coords`).
 
     Returns: [N, pooled_size, pooled_size, C].
     """
     H, W, C = features.shape
-    N = boxes.shape[0]
-    P, S = pooled_size, sampling_ratio
+    P = pooled_size
     dtype = features.dtype
 
-    b = boxes.astype(jnp.float32) * spatial_scale
-    x1, y1 = b[:, 0], b[:, 1]
-    roi_w = jnp.maximum(b[:, 2] - x1, 1.0)  # [N]
-    roi_h = jnp.maximum(b[:, 3] - y1, 1.0)
-    bin_w = roi_w / P
-    bin_h = roi_h / P
-
     # Sample coordinates: [N, P, S] per axis → broadcast to [N, P, S, P, S].
-    grid = jnp.arange(P, dtype=jnp.float32)
-    sub = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S
-    # offset within roi for bin p, sample s: (p + sub_s) * bin
-    off = grid[:, None] + sub[None, :]                     # [P, S]
-    ys = y1[:, None, None] + off[None] * bin_h[:, None, None]  # [N, P, S]
-    xs = x1[:, None, None] + off[None] * bin_w[:, None, None]  # [N, P, S]
+    ys, xs, count = roi_sample_coords(
+        boxes, P, spatial_scale, sampling_ratio,
+        adaptive_max=adaptive_max_ratio(H, W, P))
 
     y_lo, y_hi, wy_lo, wy_hi, y_ok = _bilinear_weights(ys, H)
     x_lo, x_hi, wx_lo, wx_hi, x_ok = _bilinear_weights(xs, W)
@@ -114,8 +105,13 @@ def roi_align(
         + gather(y_hi, x_hi) * (expand_y(wy_hi) * expand_x(wx_hi))[..., None]
     )
     val = jnp.where(ok[..., None], val, 0.0)
-    # Average the S*S samples of each bin.
-    out = jnp.mean(val, axis=(2, 4))                       # [N, P, P, C]
+    # Average the samples of each bin: fixed grid → mean over S*S; adaptive
+    # → sum over the static grid (padded samples contribute 0) divided by
+    # the per-ROI count g_y*g_x, exactly like the CUDA kernel.
+    if isinstance(count, float):
+        out = jnp.mean(val, axis=(2, 4))                   # [N, P, P, C]
+    else:
+        out = jnp.sum(val, axis=(2, 4)) / count[:, None, None, None]
     return out.astype(dtype)
 
 
@@ -138,20 +134,73 @@ def interp_matrix(
     return jnp.sum(hat, axis=-2)  # [..., P, limit]
 
 
-def roi_sample_coords(boxes: jnp.ndarray, pooled: int, scale: float, ratio: int):
-    """Per-axis sample coordinates for boxes [..., 4] → (ys, xs) each
-    [..., pooled, ratio] in feature coordinates."""
+def adaptive_max_ratio(H: int, W: int, pooled: int) -> int:
+    """Static cap on the adaptive per-ROI sample count for the
+    `sampling_ratio <= 0` branch: ceil(roi/bin) = ceil(roi_extent/pooled)
+    <= ceil(max(H, W)/pooled) once boxes are clamped to the image (which
+    `tubes/boxes.py::valid_tubes` guarantees upstream). ROIs that somehow
+    exceed the feature map clamp their sample count to this cap — a
+    documented deviation only reachable with un-clamped out-of-image boxes.
+    """
+    return max(1, -(-max(H, W) // pooled))
+
+
+# Sample coordinate parked far outside the valid range [-1, limit]: both
+# mask conventions (`_bilinear_weights.in_range`, `interp_matrix.ok`) zero
+# its contribution, which is how padded adaptive samples are disabled
+# without dynamic shapes.
+_INVALID_COORD = -10.0
+
+
+def roi_sample_coords(boxes: jnp.ndarray, pooled: int, scale: float,
+                      ratio: int, adaptive_max: int | None = None):
+    """Per-axis sample coordinates for boxes [..., 4].
+
+    With `ratio > 0` (fixed grid — the historical path): coordinates are
+    `[..., pooled, ratio]` and `count` is the python float `ratio**2`.
+
+    With `ratio <= 0` (maskrcnn-benchmark's adaptive branch,
+    ``csrc/cuda/ROIAlign_cuda.cu`` (recon): ``roi_bin_grid = ceil(roi_extent
+    / pooled)`` per ROI per axis): `adaptive_max` must be given (use
+    `adaptive_max_ratio(H, W, pooled)`); coordinates are
+    `[..., pooled, adaptive_max]` with the per-ROI invalid tail parked at
+    `_INVALID_COORD` so downstream masks drop it, and `count` is the
+    per-ROI array `g_y * g_x` of shape `boxes.shape[:-1]` (the CUDA kernel
+    divides each bin's sample sum by exactly this product).
+
+    Returns (ys, xs, count) in feature coordinates.
+    """
     b = boxes.astype(jnp.float32) * scale
     x1, y1 = b[..., 0], b[..., 1]
     roi_w = jnp.maximum(b[..., 2] - x1, 1.0)
     roi_h = jnp.maximum(b[..., 3] - y1, 1.0)
-    off = (
-        jnp.arange(pooled, dtype=jnp.float32)[:, None]
-        + (jnp.arange(ratio, dtype=jnp.float32)[None, :] + 0.5) / ratio
-    )  # [pooled, ratio]
-    ys = y1[..., None, None] + off * (roi_h / pooled)[..., None, None]
-    xs = x1[..., None, None] + off * (roi_w / pooled)[..., None, None]
-    return ys, xs
+    grid = jnp.arange(pooled, dtype=jnp.float32)
+    if ratio > 0:
+        off = (
+            grid[:, None]
+            + (jnp.arange(ratio, dtype=jnp.float32)[None, :] + 0.5) / ratio
+        )  # [pooled, ratio]
+        ys = y1[..., None, None] + off * (roi_h / pooled)[..., None, None]
+        xs = x1[..., None, None] + off * (roi_w / pooled)[..., None, None]
+        return ys, xs, float(ratio * ratio)
+    if adaptive_max is None:
+        raise ValueError("ratio <= 0 (adaptive sampling) requires "
+                         "adaptive_max (use adaptive_max_ratio(H, W, P))")
+    S = adaptive_max
+    sub = jnp.arange(S, dtype=jnp.float32)                    # [S]
+    gy = jnp.clip(jnp.ceil(roi_h / pooled), 1.0, float(S))    # [...]
+    gx = jnp.clip(jnp.ceil(roi_w / pooled), 1.0, float(S))
+
+    def _axis(start, extent, g):
+        # off[..., p, s] = p + (s + 0.5)/g   (per-ROI sub-grid density)
+        off = grid[:, None] + (sub[None, :] + 0.5) / g[..., None, None]
+        coords = start[..., None, None] + off * (extent / pooled)[..., None, None]
+        valid = sub[None, :] < g[..., None, None]             # [..., 1, S]
+        return jnp.where(valid, coords, _INVALID_COORD)
+
+    ys = _axis(y1, roi_h, gy)
+    xs = _axis(x1, roi_w, gx)
+    return ys, xs, gy * gx
 
 
 def roi_align_matmul(
@@ -170,15 +219,22 @@ def roi_align_matmul(
     reference.
 
     features [H, W, C]; boxes [N, 4] → [N, pooled, pooled, C].
+
+    `sampling_ratio <= 0` selects the adaptive per-ROI sample grid (see
+    `roi_sample_coords`).
     """
     H, W, C = features.shape
-    ys, xs = roi_sample_coords(boxes, pooled_size, spatial_scale, sampling_ratio)
+    ys, xs, count = roi_sample_coords(
+        boxes, pooled_size, spatial_scale, sampling_ratio,
+        adaptive_max=adaptive_max_ratio(H, W, pooled_size))
     Ay = interp_matrix(ys, H)                      # [N, P, H]
     Ax = interp_matrix(xs, W)                      # [N, P, W]
     f32 = features.astype(jnp.float32)
     tmp = jnp.einsum("nph,hwc->npwc", Ay, f32)     # contract H
     out = jnp.einsum("nqw,npwc->npqc", Ax, tmp)    # contract W
-    return (out / (sampling_ratio * sampling_ratio)).astype(features.dtype)
+    if not isinstance(count, float):
+        count = count[:, None, None, None]         # per-ROI adaptive counts
+    return (out / count).astype(features.dtype)
 
 
 def kron_interp_weights(
@@ -194,14 +250,20 @@ def kron_interp_weights(
     K2[(n,p,q), (h,w)] = A_y[n,p,h] * A_x[n,q,w] — ROI-align of ALL tubes
     and bins becomes ONE matmul against the flattened feature slice
     ([N*P*P, H*W] x [H*W, C]), an MXU-shaped contraction (K = H*W ≈ 196)
-    instead of per-tube K = H ≈ 14 slivers. 1/(S*S) averaging is folded in.
+    instead of per-tube K = H ≈ 14 slivers. The 1/count averaging is folded
+    in (count = ratio**2, or the per-ROI g_y*g_x when ratio <= 0 selects
+    the adaptive branch).
     """
     N = boxes.shape[-2]
-    ys, xs = roi_sample_coords(boxes, pooled, scale, ratio)   # [..., N, P, S]
+    ys, xs, count = roi_sample_coords(
+        boxes, pooled, scale, ratio,
+        adaptive_max=adaptive_max_ratio(H, W, pooled))        # [..., N, P, S]
     Ay = interp_matrix(ys, H)                                 # [..., N, P, H]
     Ax = interp_matrix(xs, W)                                 # [..., N, P, W]
+    if not isinstance(count, float):
+        count = count[..., None, None, None, None]            # [..., N,1,1,1,1]
     k = (Ay[..., :, :, None, :, None] * Ax[..., :, None, :, None, :]
-         / (ratio * ratio))                                   # [..., N,P,P,H,W]
+         / count)                                             # [..., N,P,P,H,W]
     return k.reshape(*k.shape[:-5], N * pooled * pooled, H * W)
 
 

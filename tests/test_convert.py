@@ -188,3 +188,103 @@ def test_load_into_detector():
     # loaded tree still runs
     out = model.apply(loaded, rgb, props)
     assert np.isfinite(np.asarray(out["cls_logits"])).all()
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-naming robustness (VERDICT r3 Next #6): the two common public
+# torch-I3D key namings must both load, leaf-identical to the nested naming.
+# ---------------------------------------------------------------------------
+
+_NESTED_TO_BRANCH = {
+    "branch_0.conv3d_0a_1x1": "b0",
+    "branch_1.conv3d_0a_1x1": "b1a",
+    "branch_1.conv3d_0b_3x3": "b1b",
+    "branch_2.conv3d_0a_1x1": "b2a",
+    "branch_2.conv3d_0b_3x3": "b2b",
+    "branch_3.conv3d_0b_1x1": "b3b",
+}
+_BRANCH_TO_HASSONY = {
+    "b0": "branch_0", "b1a": "branch_1.0", "b1b": "branch_1.1",
+    "b2a": "branch_2.0", "b2b": "branch_2.1", "b3b": "branch_3.1",
+}
+
+
+def _rekey_piergiaj(sd):
+    """nested fixture naming → piergiaj/pytorch-i3d naming."""
+    out = {}
+    for k, v in sd.items():
+        for nested, ours in _NESTED_TO_BRANCH.items():
+            k = k.replace(f".{nested}.", f".{ours}.")
+        k = k.replace(".batch3d.", ".bn.")
+        out[k] = v
+        if k.endswith(".bn.running_var"):
+            out[k.replace("running_var", "num_batches_tracked")] = np.int64(1)
+    return out
+
+
+def _rekey_hassony2(sd):
+    """nested fixture naming → hassony2/kinetics_i3d_pytorch naming."""
+    out = {}
+    for k, v in sd.items():
+        for nested, ours in _NESTED_TO_BRANCH.items():
+            k = k.replace(f".{nested}.", f".{_BRANCH_TO_HASSONY[ours]}.")
+        layer = k.split(".")[0]
+        if layer.startswith(("Conv3d", "Mixed")):
+            k = layer.lower() + k[len(layer):]
+        elif layer == "logits":
+            k = "conv3d_0c_1x1" + k[len(layer):]
+        out[k] = v
+    return out
+
+
+@pytest.mark.parametrize("rekey,scheme", [(_rekey_piergiaj, "piergiaj"),
+                                          (_rekey_hassony2, "hassony2")])
+def test_convert_public_namings_leaf_identical(rekey, scheme):
+    from step_tpu.models.convert import normalize_i3d_state_dict
+
+    sd = make_fake_torch_i3d(num_classes=400)
+    want = convert_torch_i3d(sd)
+    renamed = rekey(sd)
+    _, report = normalize_i3d_state_dict(renamed)
+    assert report["scheme"] == scheme
+    assert not report["missing"]
+    got = convert_torch_i3d(renamed)
+    for a, b in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_convert_module_prefix_stripped():
+    """DataParallel-saved checkpoints carry a `module.` prefix."""
+    sd = {f"module.{k}": v for k, v in make_fake_torch_i3d().items()}
+    got = convert_torch_i3d(sd)
+    want = convert_torch_i3d(make_fake_torch_i3d())
+    for a, b in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_convert_missing_keys_report_and_raise():
+    from step_tpu.models.convert import normalize_i3d_state_dict
+
+    sd = make_fake_torch_i3d()
+    dropped = "Mixed_4c.branch_1.conv3d_0b_3x3.conv3d.weight"
+    del sd[dropped]
+    _, report = normalize_i3d_state_dict(sd)
+    assert dropped in report["missing"]
+    with pytest.raises(KeyError, match="missing"):
+        convert_torch_i3d(sd)
+
+
+def test_convert_report_ignored_keys():
+    from step_tpu.models.convert import normalize_i3d_state_dict
+
+    sd = _rekey_piergiaj(make_fake_torch_i3d())
+    _, report = normalize_i3d_state_dict(sd)
+    assert all(k.endswith("num_batches_tracked") for k in report["ignored"])
+    assert len(report["ignored"]) > 0
+
+
+def test_convert_unknown_naming_raises():
+    with pytest.raises(KeyError, match="unrecognized"):
+        convert_torch_i3d({"backbone.blocks.0.weight": np.zeros(3)})
