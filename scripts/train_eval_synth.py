@@ -42,6 +42,10 @@ def parse_args():
                         "greedy + on-device K-tube)")
     p.add_argument("--video-windows", type=int, default=11,
                    help="sliding windows per long video (stride = one chunk)")
+    p.add_argument("--same-class-actors", action="store_true",
+                   help="synthetic scenes with max_gt_tubes actors all "
+                        "sharing one class (trains AND evals the official "
+                        "no-reassignment matcher on scenes where it bites)")
     p.add_argument("--save-variables", default=None, metavar="PATH",
                    help="after training, serialize {params, batch_stats} "
                         "(msgpack) so eval-protocol changes can be re-measured "
@@ -83,7 +87,8 @@ def main():
     syn = SyntheticConfig(image_size=cfg.image_size,
                           num_frames=cfg.total_frames,
                           num_classes=cfg.num_classes,
-                          max_boxes=cfg.max_gt_tubes)
+                          max_boxes=cfg.max_gt_tubes,
+                          same_class_actors=args.same_class_actors)
 
     model = STEPDetector(cfg)
     mesh = create_mesh((1,), cfg.mesh_axes)
@@ -197,7 +202,8 @@ def main():
             SyntheticConfig(image_size=cfg.image_size,
                             num_frames=(W - 1) * fpc + T,
                             num_classes=cfg.num_classes,
-                            max_boxes=cfg.max_gt_tubes),
+                            max_boxes=cfg.max_gt_tubes,
+                            same_class_actors=args.same_class_actors),
             num_videos=args.video_eval, num_windows=W, window_frames=T,
             stride=fpc, seed=20_000_000,
             # two-stream / flow-stream detectors need the flow channel in

@@ -24,6 +24,14 @@ class SyntheticConfig:
     min_box: float = 0.2        # box size as a fraction of image
     max_box: float = 0.4
     noise: float = 0.05
+    # Always `max_boxes` actors, all sharing ONE class per clip — the
+    # scenario where the official VOC/AVA no-reassignment matching rule
+    # (eval/detection_metrics.py::_greedy_tp) actually bites: two
+    # detections whose best IoU lands on the SAME GT make the second a
+    # guaranteed FP. Single-actor clips can never trigger it. Actor starts
+    # are re-sampled (best effort) to keep per-frame IoU between same-class
+    # actors < 0.3, so both are visually recoverable.
+    same_class_actors: bool = False
 
     # class → RGB color of the moving box
     @property
@@ -75,26 +83,40 @@ def make_clip(seed: int, cfg: SyntheticConfig = SyntheticConfig()):
     bg = np.kron(bg, np.ones((8, 8, 1), np.float32))[:S, :S] * 0.3 + 0.2
     rgb = np.tile(bg[None], (T, 1, 1, 1))
 
-    n_boxes = rng.randint(1, G + 1)
+    n_boxes = G if cfg.same_class_actors else rng.randint(1, G + 1)
+    shared_label = rng.randint(cfg.num_classes) if cfg.same_class_actors else None
     gt_tubes = np.zeros((G, T, 4), np.float32)
     gt_labels = np.zeros((G,), np.int32)
     gt_mask = np.zeros((G,), np.float32)
     palette = cfg.palette
 
-    for g in range(n_boxes):
-        size = rng.uniform(cfg.min_box, cfg.max_box) * S
-        # start position and a velocity that keeps the box inside the frame
-        max_v = (S - size) / max(T - 1, 1)
-        vx = rng.uniform(-max_v, max_v)
-        vy = rng.uniform(-max_v, max_v)
-        x0 = rng.uniform(0, S - size - abs(vx) * (T - 1)) + max(0.0, -vx * (T - 1))
-        y0 = rng.uniform(0, S - size - abs(vy) * (T - 1)) + max(0.0, -vy * (T - 1))
-        label = rng.randint(cfg.num_classes)
-        color = palette[label]
+    def _tube_iou_np(a, b):
+        # mean per-frame IoU of two [T, 4] tubes
+        lt = np.maximum(a[:, :2], b[:, :2])
+        rb = np.minimum(a[:, 2:], b[:, 2:])
+        inter = np.prod(np.clip(rb - lt, 0, None), axis=1)
+        area = lambda x: np.prod(np.clip(x[:, 2:] - x[:, :2], 0, None), axis=1)
+        return float(np.mean(inter / np.maximum(area(a) + area(b) - inter, 1e-6)))
 
-        x1 = x0 + vx * t
-        y1 = y0 + vy * t
-        gt_tubes[g] = np.stack([x1, y1, x1 + size, y1 + size], -1)
+    for g in range(n_boxes):
+        for _attempt in range(20 if cfg.same_class_actors else 1):
+            size = rng.uniform(cfg.min_box, cfg.max_box) * S
+            # start position + a velocity that keeps the box inside the frame
+            max_v = (S - size) / max(T - 1, 1)
+            vx = rng.uniform(-max_v, max_v)
+            vy = rng.uniform(-max_v, max_v)
+            x0 = rng.uniform(0, S - size - abs(vx) * (T - 1)) + max(0.0, -vx * (T - 1))
+            y0 = rng.uniform(0, S - size - abs(vy) * (T - 1)) + max(0.0, -vy * (T - 1))
+            x1 = x0 + vx * t
+            y1 = y0 + vy * t
+            tube = np.stack([x1, y1, x1 + size, y1 + size], -1)
+            if not cfg.same_class_actors or all(
+                _tube_iou_np(tube, gt_tubes[h]) < 0.3 for h in range(g)
+            ):
+                break
+        label = shared_label if shared_label is not None else rng.randint(cfg.num_classes)
+        color = palette[label]
+        gt_tubes[g] = tube
         gt_labels[g] = label
         gt_mask[g] = 1.0
         for fr in range(T):

@@ -471,3 +471,43 @@ def test_loader_producer_exits_on_abandoned_epoch(ucf_root):
     while threading.active_count() > before and _time.time() < deadline:
         _time.sleep(0.05)
     assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_synthetic_same_class_actors():
+    """same_class_actors: always max_boxes actors, one shared class, and
+    per-frame IoU between actors stays below the separation bound (best
+    effort — assert the typical case over several seeds)."""
+    from step_tpu.data.synthetic import SyntheticConfig, make_clip
+
+    cfg = SyntheticConfig(image_size=64, num_frames=6, num_classes=4,
+                          max_boxes=2, same_class_actors=True)
+    seen_overlapping_ok = 0
+    for seed in range(8):
+        clip = make_clip(seed, cfg)
+        assert clip["gt_mask"].sum() == 2                  # always 2 actors
+        assert clip["gt_labels"][0] == clip["gt_labels"][1]  # same class
+        a, b = clip["gt_tubes"][0], clip["gt_tubes"][1]
+        lt = np.maximum(a[:, :2], b[:, :2])
+        rb = np.minimum(a[:, 2:], b[:, 2:])
+        inter = np.prod(np.clip(rb - lt, 0, None), axis=1)
+        area = lambda x: np.prod(x[:, 2:] - x[:, :2], axis=1)
+        iou = inter / np.maximum(area(a) + area(b) - inter, 1e-6)
+        if iou.mean() < 0.3:
+            seen_overlapping_ok += 1
+    assert seen_overlapping_ok >= 6   # resampling keeps actors separable
+
+
+def test_synthetic_default_stream_unchanged_by_same_class_flag():
+    """The default config's rng draw order must be untouched by the
+    same_class_actors feature (golden forward tests depend on it) — the
+    fingerprint below was captured from the pre-feature implementation."""
+    from step_tpu.data.synthetic import SyntheticConfig, make_clip
+
+    cfg = SyntheticConfig(image_size=32, num_frames=4, num_classes=3,
+                          max_boxes=2)
+    c = make_clip(5, cfg)
+    assert float(c["rgb"].astype(np.float64).sum()) == pytest.approx(
+        4144.192923530936, abs=1e-6)
+    assert float(c["gt_tubes"].astype(np.float64).sum()) == pytest.approx(
+        299.4209622144699, abs=1e-9)
+    assert c["gt_labels"].tolist() == [0, 0]

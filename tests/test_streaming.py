@@ -294,3 +294,43 @@ def test_collectors_reject_temporal_stride():
         collect_video_tubes(None, None, cfg2)
     with pytest.raises(ValueError, match="temporal_stride"):
         collect_detections(None, None, cfg2)
+
+
+def test_device_and_host_linking_on_same_class_multiactor_video():
+    """Same-class multi-actor scenes (VERDICT r3 Next #2): both linkers and
+    the official no-reassignment video matcher run end-to-end on a video
+    where two actors share one class — the configuration in which duplicate
+    tubes become guaranteed FPs. Untrained net: protocol exercise (finite
+    mAPs, tubes present, per-class structure sane); the accuracy claim is
+    the chip-scale harness run recorded in VALIDATION.md."""
+    from step_tpu.data.synthetic import SyntheticConfig, SyntheticVideoDataset
+    from step_tpu.eval.detection_metrics import video_map
+    from step_tpu.evaluate import (collect_detections, collect_video_tubes,
+                                   dedupe_frame_detections,
+                                   link_frame_detections)
+
+    cfg = CFG.replace(score_thresh=0.0, chunk_stem=False)
+    T, fpc, W = cfg.total_frames, cfg.frames_per_chunk, 4
+    syn = SyntheticConfig(image_size=32, num_frames=(W - 1) * fpc + T,
+                          num_classes=cfg.num_classes, max_boxes=2,
+                          same_class_actors=True)
+    vds = SyntheticVideoDataset(syn, num_videos=2, num_windows=W,
+                                window_frames=T, stride=fpc, seed=11)
+    gt = vds.video_gt()
+    # every video has exactly 2 GT tubes of ONE shared class
+    by_video = {}
+    for vid, c, _ in gt:
+        by_video.setdefault(vid, []).append(c)
+    assert all(len(cs) == 2 and len(set(cs)) == 1 for cs in by_video.values())
+
+    model = STEPDetector(cfg)
+    variables = init_detector_cpu(cfg, jax.random.PRNGKey(0), model)
+    dets = collect_detections(variables, vds, cfg, model, batch_size=4,
+                              image_scale_to_gt=False)
+    host = link_frame_detections(dedupe_frame_detections(dets))
+    dev = collect_video_tubes(variables, vds, cfg, model,
+                              image_scale_to_gt=False)
+    for tubes in (host, dev):
+        assert tubes
+        m = video_map(tubes, gt, cfg.num_classes, 0.2)
+        assert np.isfinite(m["mAP"])
