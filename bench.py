@@ -173,9 +173,14 @@ def main():
     # so the relay cannot pipeline across iterations) and ends with a
     # concrete VALUE readback — the relay acks block_until_ready early but
     # cannot fake a scalar value — so each per-iteration wall time is real.
-    # The per-iteration readback costs ~ms; we quantify it as the gap
-    # between the mean of the per-iteration times and the chained mean with
-    # ONE readback over the same iteration count, and report it alongside.
+    # MEASURED (r4, v5e via the axon relay): the per-iteration readback
+    # round-trip costs ~24.5 ms on this transport, dominating the ~6.8 ms
+    # device program at B=1 — so p50/p90 here are END-TO-END request
+    # latencies through the relay; `latency_chained_mean_ms` (N iterations,
+    # ONE readback) isolates the device-program latency, and
+    # `latency_readback_overhead_ms` = mean(per-iter) - chained mean is the
+    # transport's share. On a PCIe-attached host the readback is ~µs and
+    # p50 approaches the chained mean.
     rgb1, props1, pmask1 = rgb[:1], proposals[:1], prop_mask[:1]
     lat_chained = (
         _chained_time(detect, variables, rgb1, props1, pmask1, ITERS) / ITERS
@@ -204,6 +209,7 @@ def main():
         "mfu": round(mfu, 4) if mfu is not None else None,
         "p50_latency_ms": round(p50_ms, 2),
         "p90_latency_ms": round(p90_ms, 2),
+        "latency_chained_mean_ms": round(lat_chained * 1000.0, 2),
         "latency_readback_overhead_ms": round(readback_overhead_ms, 2),
         "batch": BATCH,
         "compile_s": round(compile_s, 1),
