@@ -80,11 +80,18 @@ def main():
     ap.add_argument("--skip-fit", action="store_true",
                     help="device-step timing only (skip the fit() loop "
                          "arms — for quick A/Bs)")
+    ap.add_argument("--set", dest="overrides", default=None,
+                    help="comma-separated cfg overrides, e.g. "
+                         "scan_broadcast_inputs=True")
     args = ap.parse_args()
     cfg = PRESETS["ucf_3step"].replace(batch_size=args.batch,
                                        scan_unroll=args.unroll,
                                        remat_steps=args.remat,
                                        freeze_submodules=tuple(args.freeze))
+    if args.overrides:
+        from step_tpu.utils.cli import apply_overrides
+
+        cfg = apply_overrides(cfg, args.overrides.split(","))
     from step_tpu.parallel.mesh import create_mesh, replicated_sharding
     from step_tpu.parallel.distributed import make_global_batch
     from step_tpu.train.trainer import (create_train_state,
@@ -204,6 +211,7 @@ def main():
         "fit_clips_per_sec_prefetch": (round(fit_cps_pf, 2)
                                        if fit_cps_pf else None),
         "batch": cfg.batch_size,
+        "overrides": args.overrides,
         "scan_unroll": cfg.scan_unroll,
         "remat_steps": cfg.remat_steps,
         "freeze_submodules": list(cfg.freeze_submodules),

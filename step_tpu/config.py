@@ -139,6 +139,12 @@ class StepConfig:
     # FLOPs (bench.py uses an unrolled lowering for its exact MFU
     # denominator). Compile time grows ~Sx for the refinement portion.
     scan_unroll: bool = False
+    # Pass the loop-invariant feature map + context into the refinement
+    # scan as nn.broadcast INPUTS instead of carried state. Identical math
+    # (parity-tested bit-exact on CPU); candidate for the backward scan's
+    # carry-threading cost (r3 trace: ~7 ms scan-carry stacking) — see the
+    # measured A/B in VALIDATION.md before changing the default.
+    scan_broadcast_inputs: bool = False
     num_proposals: int = 11             # initial hand-placed cuboids (paper §3.1)
     # Static padded proposal capacity (>= num_proposals). 16 measured FASTER
     # than the tight 11 despite 5 dead slots riding the per-step I3D tail

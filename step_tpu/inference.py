@@ -244,6 +244,22 @@ def refine_from_features(variables, feat: jnp.ndarray, proposals: jnp.ndarray,
             cvars["batch_stats"] = bs["context"]
         ctx = ContextNet(dtype=dtype).apply(cvars, feat, False)
 
+    svars = {"params": variables["params"]["steps"]}
+    if "steps" in bs:
+        svars["batch_stats"] = bs["steps"]
+    steps = jnp.arange(cfg.num_steps)
+    if cfg.scan_broadcast_inputs:
+        Loop = nn.scan(
+            _StepBody,
+            variable_axes={"params": 0, "batch_stats": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(nn.broadcast, nn.broadcast, 0),
+            out_axes=0,
+            length=cfg.num_steps,
+        )
+        _, outputs = Loop(cfg).apply(
+            svars, proposals.astype(jnp.float32), feat, ctx, steps)
+        return outputs
     Loop = nn.scan(
         _StepBody,
         variable_axes={"params": 0, "batch_stats": 0},
@@ -252,11 +268,8 @@ def refine_from_features(variables, feat: jnp.ndarray, proposals: jnp.ndarray,
         out_axes=0,
         length=cfg.num_steps,
     )
-    svars = {"params": variables["params"]["steps"]}
-    if "steps" in bs:
-        svars["batch_stats"] = bs["steps"]
     carry = (feat, ctx, proposals.astype(jnp.float32))
-    _, outputs = Loop(cfg).apply(svars, carry, jnp.arange(cfg.num_steps))
+    _, outputs = Loop(cfg).apply(svars, carry, steps)
     return outputs
 
 

@@ -44,9 +44,22 @@ class _StepBody(nn.Module):
     cfg: StepConfig
 
     @nn.compact
-    def __call__(self, carry, step_idx):
+    def __call__(self, carry, *args):
         cfg = self.cfg
-        feat, ctx, tubes = carry           # feat [B,T',H',W',C]; tubes [B,P,T,4]
+        # Two scan conventions (cfg.scan_broadcast_inputs):
+        #   legacy: carry = (feat, ctx, tubes), args = (step_idx,) — the
+        #     loop-invariant feature map rides the scan CARRY, which the
+        #     backward scan also threads and stacks;
+        #   broadcast: carry = tubes only, args = (feat, ctx, step_idx)
+        #     with feat/ctx as nn.broadcast scan inputs — invariants enter
+        #     the loop as constants, not carried state.
+        # Identical math either way (parity-tested); param tree unchanged.
+        broadcast = len(args) == 3
+        if broadcast:
+            tubes, (feat, ctx, step_idx) = carry, args
+        else:
+            (feat, ctx, tubes), (step_idx,) = carry, args
+        # feat [B,T',H',W',C]; tubes [B,P,T,4]
         B, P, T = tubes.shape[0], tubes.shape[1], tubes.shape[2]
         Tp = feat.shape[1]
 
@@ -135,6 +148,8 @@ class _StepBody(nn.Module):
             "tubes": filled,            # [B, P, T, 4] — refined (extension-filled)
             "frame_mask": fmask,        # [T]
         }
+        if broadcast:
+            return new_tubes, outputs
         return (feat, ctx, new_tubes), outputs
 
     def is_train(self) -> bool:
@@ -198,6 +213,23 @@ class STEPDetector(nn.Module):
         Body = _StepBody
         if cfg.remat_steps and train:
             Body = nn.remat(_StepBody, prevent_cse=False)
+        steps = jnp.arange(cfg.num_steps)
+        if cfg.scan_broadcast_inputs:
+            # Loop-invariant feat/ctx enter as nn.broadcast scan INPUTS:
+            # the (large) feature map is a loop constant instead of carried
+            # state the forward AND backward scans must thread and stack.
+            Loop = nn.scan(
+                Body,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast, 0),
+                out_axes=0,
+                length=cfg.num_steps,
+                unroll=cfg.num_steps if cfg.scan_unroll else 1,
+            )
+            _, outputs = Loop(cfg, name="steps")(
+                proposals.astype(jnp.float32), feat, ctx, steps)
+            return outputs
         Loop = nn.scan(
             Body,
             variable_axes={"params": 0, "batch_stats": 0},
@@ -208,7 +240,6 @@ class STEPDetector(nn.Module):
             unroll=cfg.num_steps if cfg.scan_unroll else 1,
         )
         carry = (feat, ctx, proposals.astype(jnp.float32))
-        steps = jnp.arange(cfg.num_steps)
         _, outputs = Loop(cfg, name="steps")(carry, steps)
         return outputs
 

@@ -237,3 +237,65 @@ def test_all_presets_construct_and_validate():
     assert PRESETS["pr1_ref"].num_steps == 1
     assert PRESETS["ava_3step"].multilabel
     assert PRESETS["two_stream_train"].two_stream
+
+
+def test_scan_broadcast_inputs_bit_exact():
+    """cfg.scan_broadcast_inputs moves the loop-invariant feat/ctx from the
+    scan carry to nn.broadcast inputs — outputs AND gradients must be
+    bit-identical (same math, same param tree), train and eval mode."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from step_tpu.config import StepConfig
+    from step_tpu.models.detector import STEPDetector
+
+    cfg = StepConfig(
+        dataset="synthetic", num_classes=3, frames_per_chunk=2, num_chunks=3,
+        num_steps=3, iou_thresholds=(0.4, 0.5, 0.6),
+        step_loss_weights=(1.0, 1.0, 1.0), temporal_extension=True,
+        image_size=32, backbone_depth="tiny", feature_stride=8,
+        pooled_size=4, max_proposals=12, compute_dtype="float32",
+        dropout_rate=0.0,
+    )
+    cfg_b = cfg.replace(scan_broadcast_inputs=True)
+    rng = np.random.RandomState(0)
+    rgb = jnp.asarray(rng.rand(2, cfg.total_frames, 32, 32, 3), jnp.float32)
+    props, _ = STEPDetector.initial_proposals(cfg, 2)
+
+    model = STEPDetector(cfg)
+    model_b = STEPDetector(cfg_b)
+    variables = model.init(jax.random.PRNGKey(0), rgb, props)
+    # identical param tree: broadcast-input init must equal carry init
+    vb = model_b.init(jax.random.PRNGKey(0), rgb, props)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(vb))
+    for a, b in zip(jax.tree_util.tree_leaves(variables),
+                    jax.tree_util.tree_leaves(vb)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    for train in (False, True):
+        kw = ({"train": True, "rngs": {"dropout": jax.random.PRNGKey(7)},
+               "mutable": ["batch_stats"]} if train else {})
+        out_a = model.apply(variables, rgb, props, **kw)
+        out_b = model_b.apply(variables, rgb, props, **kw)
+        if train:
+            out_a, out_b = out_a[0], out_b[0]
+        for k in ("cls_logits", "deltas", "tubes", "proposals"):
+            np.testing.assert_array_equal(np.asarray(out_a[k]),
+                                          np.asarray(out_b[k]), err_msg=k)
+
+    def loss(m):
+        def f(params):
+            out, _ = m.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                rgb, props, train=True,
+                rngs={"dropout": jax.random.PRNGKey(7)},
+                mutable=["batch_stats"])
+            return (jnp.sum(out["cls_logits"].astype(jnp.float32) ** 2)
+                    + jnp.sum(out["deltas"].astype(jnp.float32) ** 2))
+        return jax.grad(f)(variables["params"])
+
+    ga, gb = loss(model), loss(model_b)
+    for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
