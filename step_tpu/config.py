@@ -262,6 +262,11 @@ class StepConfig:
     # memory. Enables larger train batches when HBM-bound. Math identical
     # (gradient-equivalence tested).
     remat_steps: bool = False
+    # Remat granularity when remat_steps is on: "full" recomputes the whole
+    # step body; "dots" (jax.checkpoint_policies.checkpoint_dots) keeps
+    # matmul/conv outputs resident and recomputes only elementwise glue —
+    # usually the better TPU trade when the body is conv-heavy.
+    remat_policy: str = "full"          # "full" | "dots"
     # Jittered-GT proposals appended during training. Default OFF: when the
     # jittered copies exist they absorb every positive match, the 11 cuboids
     # (the only proposals inference ever sees) train as pure background, and
@@ -328,6 +333,9 @@ class StepConfig:
         if unknown:
             raise ValueError(f"unknown freeze_submodules {sorted(unknown)}; "
                              "valid: features, context, steps")
+        if self.remat_policy not in ("full", "dots"):
+            raise ValueError("remat_policy must be 'full' or 'dots', got "
+                             f"{self.remat_policy!r}")
 
 
 # The five BASELINE.json configs as named presets (BASELINE.json::configs).

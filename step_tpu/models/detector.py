@@ -212,7 +212,9 @@ class STEPDetector(nn.Module):
         # is safe to disable inside scan (XLA cannot CSE across iterations).
         Body = _StepBody
         if cfg.remat_steps and train:
-            Body = nn.remat(_StepBody, prevent_cse=False)
+            policy = (jax.checkpoint_policies.checkpoint_dots
+                      if cfg.remat_policy == "dots" else None)
+            Body = nn.remat(_StepBody, prevent_cse=False, policy=policy)
         steps = jnp.arange(cfg.num_steps)
         if cfg.scan_broadcast_inputs:
             # Loop-invariant feat/ctx enter as nn.broadcast scan INPUTS:

@@ -286,22 +286,27 @@ def test_remat_steps_gradient_equivalence():
     rng = jax.random.PRNGKey(1)
 
     results = {}
-    for remat in (False, True):
-        cfg = CFG.replace(remat_steps=remat)
+    arms = {"none": dict(remat_steps=False),
+            "full": dict(remat_steps=True),
+            "dots": dict(remat_steps=True, remat_policy="dots")}
+    for name, over in arms.items():
+        cfg = CFG.replace(**over)
         model = STEPDetector(cfg)
         state = create_train_state(cfg, jax.random.PRNGKey(0), model)
         step = jax.jit(functools.partial(_ts, cfg=cfg, model=model))
         new_state, m = step(state, batch, rng)
-        results[remat] = (float(m["loss"]), float(m["grad_norm"]),
-                          new_state.params)
-    np.testing.assert_allclose(results[False][0], results[True][0],
-                               rtol=1e-6)
-    np.testing.assert_allclose(results[False][1], results[True][1],
-                               rtol=1e-5)
-    jax.tree.map(
-        lambda a, b_: np.testing.assert_allclose(np.asarray(a),
-                                                 np.asarray(b_), atol=1e-6),
-        results[False][2], results[True][2])
+        results[name] = (float(m["loss"]), float(m["grad_norm"]),
+                         new_state.params)
+    for arm in ("full", "dots"):
+        np.testing.assert_allclose(results["none"][0], results[arm][0],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(results["none"][1], results[arm][1],
+                                   rtol=1e-5)
+        jax.tree.map(
+            lambda a, b_: np.testing.assert_allclose(np.asarray(a),
+                                                     np.asarray(b_),
+                                                     atol=1e-6),
+            results["none"][2], results[arm][2])
 
 
 def test_freeze_submodules_finetune_policy():
