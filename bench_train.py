@@ -83,6 +83,9 @@ def main():
     ap.add_argument("--set", dest="overrides", default=None,
                     help="comma-separated cfg overrides, e.g. "
                          "scan_broadcast_inputs=True")
+    ap.add_argument("--donate-batch", action="store_true",
+                    help="also donate the batch buffers to the step "
+                         "(each uploaded batch is consumed exactly once)")
     args = ap.parse_args()
     cfg = PRESETS["ucf_3step"].replace(batch_size=args.batch,
                                        scan_unroll=args.unroll,
@@ -103,7 +106,8 @@ def main():
     with jax.default_device(cpu):
         state = create_train_state(cfg, jax.random.PRNGKey(0), model)
     state = jax.device_put(state, replicated_sharding(mesh))
-    pstep = make_parallel_train_step(cfg, model, mesh)
+    pstep = make_parallel_train_step(cfg, model, mesh,
+                                     donate_batch=args.donate_batch)
     rng = jax.random.PRNGKey(1)
 
     # ---- device-chained step throughput over distinct uploaded batches ----
@@ -142,17 +146,31 @@ def main():
     # (S-1)x3x-tail correction estimate. Compile is cached; nothing timed
     # here.
     _phase(f"steps done ({dt*1000:.0f} ms/step); MFU lowering")
+    # Denominator = USEFUL model FLOPs: remat recompute must not count as
+    # utilization (remat_steps=False in the costed lowering), else remat
+    # arms report inflated MFU for doing redundant work. The non-remat
+    # program does not even COMPILE at B>=32 (OOM), so the cost analysis
+    # runs at a reference batch and scales linearly (every op in the step
+    # is batch-linear).
     mfu = None
     try:
-        if cfg.scan_unroll:
-            upstep = pstep
-        else:
-            ucfg = cfg.replace(scan_unroll=True)
-            upstep = make_parallel_train_step(ucfg, STEPDetector(ucfg), mesh)
-        cost = upstep.lower(state, dev_batches[0], rng).compile().cost_analysis()
+        bref = min(cfg.batch_size, 16)
+        ucfg = cfg.replace(scan_unroll=True, remat_steps=False,
+                           batch_size=bref)
+        upstep = make_parallel_train_step(ucfg, STEPDetector(ucfg), mesh)
+
+        def _ref_leaf(x):
+            shape = jnp.shape(x)
+            if shape and shape[0] == cfg.batch_size:
+                shape = (bref, *shape[1:])
+            return jax.ShapeDtypeStruct(shape, x.dtype)
+
+        abstract_batch = jax.tree.map(_ref_leaf, dev_batches[0])
+        cost = (upstep.lower(state, abstract_batch, rng).compile()
+                .cost_analysis())
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
+        flops = float(cost.get("flops", 0.0)) * (cfg.batch_size / bref)
         if flops > 0:
             mfu = flops / dt / PEAK_BF16_FLOPS
     except Exception:

@@ -177,11 +177,16 @@ def train_step(state: TrainState, batch: dict, rng: jax.Array,
     return new_state, metrics
 
 
-def make_parallel_train_step(cfg: StepConfig, model: STEPDetector, mesh: Mesh):
+def make_parallel_train_step(cfg: StepConfig, model: STEPDetector, mesh: Mesh,
+                             donate_batch: bool = False):
     """jit `train_step` with batch sharded over 'data', state replicated.
 
     XLA/GSPMD inserts the gradient all-reduce over ICI — the TPU-native
     replacement for the reference's DataParallel scatter/gather.
+
+    `donate_batch`: also donate the batch buffers (each batch is consumed
+    once per step in every driver) so XLA may reuse the rgb upload buffer
+    as scratch. A/B knob — see VALIDATION.md before changing the default.
     """
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
@@ -193,7 +198,7 @@ def make_parallel_train_step(cfg: StepConfig, model: STEPDetector, mesh: Mesh):
         _step,
         in_shardings=(repl, data, repl),
         out_shardings=(repl, repl),
-        donate_argnums=(0,),
+        donate_argnums=(0, 1) if donate_batch else (0,),
     )
 
 
