@@ -53,6 +53,11 @@ def parse_args():
     p.add_argument("--load-variables", default=None, metavar="PATH",
                    help="skip training; restore variables saved by "
                         "--save-variables (config must match)")
+    p.add_argument("--load-ckpt-dir", default=None, metavar="DIR",
+                   help="skip training; restore an orbax checkpoint saved "
+                        "by the production fit() loop (train.py) — the "
+                        "train -> checkpoint -> fresh-process restore -> "
+                        "evaluate journey (config must match)")
     return p.parse_args()
 
 
@@ -111,6 +116,19 @@ def main():
         with open(args.load_variables, "rb") as f:
             variables = serialization.msgpack_restore(f.read())
         variables = jax.device_put(variables, replicated_sharding(mesh))
+    elif args.load_ckpt_dir:
+        from step_tpu.utils.checkpoint import restore_checkpoint
+
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            template = create_train_state(cfg, jax.random.PRNGKey(args.seed),
+                                          model)
+        restored, _ = restore_checkpoint(args.load_ckpt_dir, template)
+        print(f"restored step {int(restored.step)} from {args.load_ckpt_dir}",
+              flush=True)
+        variables = jax.device_put(
+            {"params": restored.params, "batch_stats": restored.batch_stats},
+            replicated_sharding(mesh))
     else:
         # train state only when training — the relay's real upload rate is
         # ~43 MB/s, so a dead params+optimizer upload in --load-variables
@@ -133,7 +151,8 @@ def main():
                 losses.append(loss)
                 print(f"step {step}: loss={loss}", flush=True)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-    train_s = time.time() - t0 if not args.load_variables else 0.0
+    train_s = (time.time() - t0
+               if not (args.load_variables or args.load_ckpt_dir) else 0.0)
 
     if args.save_variables:
         from flax import serialization
