@@ -206,6 +206,12 @@ def main():
         "value": round(clips_per_sec, 2),
         "unit": "clips/s",
         "vs_baseline": round(clips_per_sec / (TARGET_MULTIPLE * REF_CLIPS_PER_SEC), 3),
+        # The reference's throughput was never measurable in this container
+        # (empty mount, zero egress) — the denominator is a documented,
+        # deliberately generous 20 clips/s proxy. Carried inside the JSON so
+        # the recorded artifact can't be quoted without the caveat.
+        "vs_baseline_denominator": "proxy: 5 x 20 clips/s assumed reference"
+                                   " (unmeasured; see BASELINE.md)",
         "mfu": round(mfu, 4) if mfu is not None else None,
         "p50_latency_ms": round(p50_ms, 2),
         "p90_latency_ms": round(p90_ms, 2),
