@@ -1,0 +1,34 @@
+#!/bin/bash
+# Round-4 train-step perf campaign (VERDICT r3 Next #1): batch-size sweep
+# x remat arms x broadcast/donate A/Bs, serialized on the one chip.
+# Each arm is its own process (fresh dispatch queue); results append as
+# JSON lines to .sweeps/train_r4.jsonl for the VALIDATION table.
+set -u
+mkdir -p /root/repo/.sweeps
+OUT=/root/repo/.sweeps/train_r4.jsonl
+cd /root/repo
+
+run() {
+  tag="$1"; shift
+  echo "=== $tag : bench_train.py $* ===" >&2
+  line=$(timeout 1500 python bench_train.py --skip-fit "$@" 2>/root/repo/.sweeps/last_stderr.log)
+  rc=$?
+  if [ $rc -eq 0 ] && [ -n "$line" ]; then
+    echo "{\"arm\": \"$tag\", \"result\": $line}" >> "$OUT"
+    echo "$tag -> $line" >&2
+  else
+    echo "{\"arm\": \"$tag\", \"error\": $rc}" >> "$OUT"
+    echo "$tag FAILED rc=$rc (see .sweeps/last_stderr.log)" >&2
+    tail -3 /root/repo/.sweeps/last_stderr.log >&2
+  fi
+}
+
+run "b16_base"            --batch 16
+run "b16_remat_full"      --batch 16 --remat
+run "b16_remat_dots"      --batch 16 --remat --set remat_policy=dots
+run "b32_remat_dots"      --batch 32 --remat --set remat_policy=dots
+run "b32_remat_full"      --batch 32 --remat
+run "b64_remat_dots"      --batch 64 --remat --set remat_policy=dots
+run "b16_broadcast"       --batch 16 --set scan_broadcast_inputs=True
+run "b16_donate"          --batch 16 --donate-batch
+echo "sweep done" >&2
