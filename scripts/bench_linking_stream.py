@@ -86,9 +86,15 @@ def main():
     _, pmask1 = STEPDetector.initial_proposals(cfg, 1)
 
     def time_link(Lb):
+        # Valid (x1,y1,x1+w,y1+h) geometry: independent uniforms would leave
+        # ~3/4 of boxes degenerate (x2<x1 or y2<y1) and the IoU surfaces the
+        # Viterbi transition/suppression stages run on near-all-zero.
+        xy1 = rng.rand(Lb, P, T, 2).astype(np.float32) * (cfg.image_size - 24)
+        wh = 16.0 + rng.rand(Lb, P, T, 2).astype(np.float32) * (
+            cfg.image_size / 3)
         tubes = jnp.asarray(
-            rng.rand(Lb, P, T, 4).astype(np.float32) * cfg.image_size)
-        tubes = tubes.at[..., 2:].add(8.0)            # ensure positive area
+            np.concatenate([xy1, np.minimum(xy1 + wh, cfg.image_size - 1.0)],
+                           axis=-1))
         scores = jnp.asarray(rng.rand(Lb, P, C).astype(np.float32))
         prop_mask = jnp.broadcast_to(pmask1[0][None], (Lb, P))
         clip_mask = jnp.ones((Lb,), jnp.float32)

@@ -18,15 +18,27 @@ echo "=== chip queue start $(date +%H:%M:%S) ===" >&2
 run() {  # run <tag> <timeout_s> <cmd...>
   tag="$1"; to="$2"; shift 2
   echo "--- $tag: $* ($(date +%H:%M:%S)) ---" >&2
-  out=$(timeout "$to" "$@" 2>.sweeps/"$tag".stderr | tail -1)
-  rc=$?
+  timeout "$to" "$@" >.sweeps/"$tag".out 2>.sweeps/"$tag".stderr
+  rc=$?   # the command's own status (no pipeline — tail would mask it)
+  out=$(tail -1 .sweeps/"$tag".out)
   if [ $rc -eq 0 ] && [ -n "$out" ]; then
-    echo "{\"run\": \"$tag\", \"out\": $out}" >> "$RES" 2>/dev/null \
-      || echo "{\"run\": \"$tag\", \"raw\": \"$(echo "$out" | tr '"' "'")\"}" >> "$RES"
+    # Embed only after validating the line IS JSON; else record it quoted.
+    python - "$tag" "$out" >> "$RES" <<'PYEOF'
+import json, sys
+tag, out = sys.argv[1], sys.argv[2]
+try:
+    print(json.dumps({"run": tag, "out": json.loads(out)}))
+except Exception:
+    print(json.dumps({"run": tag, "raw": out}))
+PYEOF
     echo "$tag OK: $out" >&2
   else
-    echo "{\"run\": \"$tag\", \"error\": $rc}" >> "$RES"
-    echo "$tag FAILED rc=$rc" >&2; tail -4 .sweeps/"$tag".stderr >&2
+    [ $rc -eq 124 ] && why=timeout || why=rc$rc
+    python - "$tag" "$why" >> "$RES" <<'PYEOF'
+import json, sys
+print(json.dumps({"run": sys.argv[1], "error": sys.argv[2]}))
+PYEOF
+    echo "$tag FAILED ($why)" >&2; tail -4 .sweeps/"$tag".stderr >&2
   fi
 }
 

@@ -4,6 +4,7 @@
 # Each arm is its own process (fresh dispatch queue); results append as
 # JSON lines to .sweeps/train_r4.jsonl for the VALIDATION table.
 set -u
+echo $$ > /tmp/sweep_train.pid   # chip_queue_r4.sh serializes on this
 mkdir -p /root/repo/.sweeps
 OUT=/root/repo/.sweeps/train_r4.jsonl
 cd /root/repo
