@@ -229,10 +229,9 @@ def refine_from_features(variables, feat: jnp.ndarray, proposals: jnp.ndarray,
     """Context + the S-step refinement scan, applied from the detector's
     variable subtrees onto a precomputed feature map (the streaming-cache
     entry point; numerically identical to the in-model path)."""
-    import flax.linen as nn
     from flax.core import FrozenDict
 
-    from step_tpu.models.detector import _StepBody
+    from step_tpu.models.detector import make_step_loop, step_loop_args
     from step_tpu.models.nets import ContextNet
 
     dtype = jnp.dtype(cfg.compute_dtype)
@@ -247,29 +246,12 @@ def refine_from_features(variables, feat: jnp.ndarray, proposals: jnp.ndarray,
     svars = {"params": variables["params"]["steps"]}
     if "steps" in bs:
         svars["batch_stats"] = bs["steps"]
-    steps = jnp.arange(cfg.num_steps)
-    if cfg.scan_broadcast_inputs:
-        Loop = nn.scan(
-            _StepBody,
-            variable_axes={"params": 0, "batch_stats": 0},
-            split_rngs={"params": True, "dropout": True},
-            in_axes=(nn.broadcast, nn.broadcast, 0),
-            out_axes=0,
-            length=cfg.num_steps,
-        )
-        _, outputs = Loop(cfg).apply(
-            svars, proposals.astype(jnp.float32), feat, ctx, steps)
-        return outputs
-    Loop = nn.scan(
-        _StepBody,
-        variable_axes={"params": 0, "batch_stats": 0},
-        split_rngs={"params": True, "dropout": True},
-        in_axes=0,
-        out_axes=0,
-        length=cfg.num_steps,
-    )
-    carry = (feat, ctx, proposals.astype(jnp.float32))
-    _, outputs = Loop(cfg).apply(svars, carry, steps)
+    # Shared constructor keeps both scan conventions + remat/unroll options
+    # in ONE place; this .apply path now also honors cfg.scan_unroll (it
+    # previously always lowered rolled — the lifted model path unrolled).
+    Loop = make_step_loop(cfg)
+    _, outputs = Loop(cfg).apply(
+        svars, *step_loop_args(cfg, feat, ctx, proposals))
     return outputs
 
 

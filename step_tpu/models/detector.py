@@ -158,6 +158,45 @@ class _StepBody(nn.Module):
                 and "steps" not in self.cfg.freeze_submodules)
 
 
+def make_step_loop(cfg: StepConfig, train: bool = False):
+    """The S-step refinement scan, constructed in ONE place for both entry
+    points (STEPDetector.__call__ and inference.refine_from_features):
+    per-step params stacked on axis 0, either scan convention
+    (cfg.scan_broadcast_inputs — loop-invariant feat/ctx as nn.broadcast
+    INPUTS instead of carried state the backward scan must thread and
+    stack), optional lifted remat of the step body when training
+    (jax.checkpoint: recompute tail/head activations instead of storing S
+    copies — the standard TPU HBM-for-FLOPs trade; prevent_cse is safe to
+    disable inside scan since XLA cannot CSE across iterations), and the
+    cfg.scan_unroll serving lowering (+1.6% measured, bit-exact)."""
+    Body = _StepBody
+    if cfg.remat_steps and train:
+        policy = (jax.checkpoint_policies.checkpoint_dots
+                  if cfg.remat_policy == "dots" else None)
+        Body = nn.remat(_StepBody, prevent_cse=False, policy=policy)
+    return nn.scan(
+        Body,
+        variable_axes={"params": 0, "batch_stats": 0},
+        split_rngs={"params": True, "dropout": True},
+        in_axes=((nn.broadcast, nn.broadcast, 0)
+                 if cfg.scan_broadcast_inputs else 0),
+        out_axes=0,
+        length=cfg.num_steps,
+        unroll=cfg.num_steps if cfg.scan_unroll else 1,
+    )
+
+
+def step_loop_args(cfg: StepConfig, feat, ctx, proposals):
+    """Positional args for a make_step_loop instance under the active scan
+    convention — shared by the lifted (`Loop(cfg, name='steps')(...)`) and
+    the `.apply(svars, ...)` call sites."""
+    p = proposals.astype(jnp.float32)
+    steps = jnp.arange(cfg.num_steps)
+    if cfg.scan_broadcast_inputs:
+        return (p, feat, ctx, steps)
+    return ((feat, ctx, p), steps)
+
+
 class STEPDetector(nn.Module):
     """Full detector: backbone + context + S-step progressive refinement."""
 
@@ -205,44 +244,9 @@ class STEPDetector(nn.Module):
         if cfg.use_context:
             ctx = ContextNet(dtype=dtype, name="context")(feat, ctx_train)
 
-        # Optional rematerialization of the per-step body (jax.checkpoint
-        # through flax's lifted remat): the backward pass recomputes each
-        # step's tail/head activations instead of storing S copies — the
-        # standard TPU HBM-for-FLOPs trade for scanned layers. prevent_cse
-        # is safe to disable inside scan (XLA cannot CSE across iterations).
-        Body = _StepBody
-        if cfg.remat_steps and train:
-            policy = (jax.checkpoint_policies.checkpoint_dots
-                      if cfg.remat_policy == "dots" else None)
-            Body = nn.remat(_StepBody, prevent_cse=False, policy=policy)
-        steps = jnp.arange(cfg.num_steps)
-        if cfg.scan_broadcast_inputs:
-            # Loop-invariant feat/ctx enter as nn.broadcast scan INPUTS:
-            # the (large) feature map is a loop constant instead of carried
-            # state the forward AND backward scans must thread and stack.
-            Loop = nn.scan(
-                Body,
-                variable_axes={"params": 0, "batch_stats": 0},
-                split_rngs={"params": True, "dropout": True},
-                in_axes=(nn.broadcast, nn.broadcast, 0),
-                out_axes=0,
-                length=cfg.num_steps,
-                unroll=cfg.num_steps if cfg.scan_unroll else 1,
-            )
-            _, outputs = Loop(cfg, name="steps")(
-                proposals.astype(jnp.float32), feat, ctx, steps)
-            return outputs
-        Loop = nn.scan(
-            Body,
-            variable_axes={"params": 0, "batch_stats": 0},
-            split_rngs={"params": True, "dropout": True},
-            in_axes=0,
-            out_axes=0,
-            length=cfg.num_steps,
-            unroll=cfg.num_steps if cfg.scan_unroll else 1,
-        )
-        carry = (feat, ctx, proposals.astype(jnp.float32))
-        _, outputs = Loop(cfg, name="steps")(carry, steps)
+        Loop = make_step_loop(cfg, train)
+        _, outputs = Loop(cfg, name="steps")(
+            *step_loop_args(cfg, feat, ctx, proposals))
         return outputs
 
     # ------------------------------------------------------------- helpers
