@@ -2,6 +2,8 @@
 plus the s2d stem conv (temporal stride 2) vs its temporal-taps-to-channels
 2D form. Companion to bench_conv3d.py (which covers 3x3x3)."""
 
+import _bootstrap  # noqa: F401  (sys.path -> repo root)
+
 import time
 
 import jax

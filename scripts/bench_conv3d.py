@@ -14,6 +14,8 @@ Chained timing only (relay transport memoizes / early-acks: see
 utils/profiling.py).
 """
 
+import _bootstrap  # noqa: F401  (sys.path -> repo root)
+
 import functools
 import time
 

@@ -7,6 +7,8 @@ the chained methodology and compares against the live-jit program.
 Usage: python scripts/bench_export.py [--batch 128]
 """
 
+import _bootstrap  # noqa: F401  (sys.path -> repo root)
+
 import argparse
 import time
 

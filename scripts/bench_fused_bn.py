@@ -1,6 +1,8 @@
 """Measure the Pallas fused BN+ReLU against XLA's epilogue fusion on the
 real chip (full detect program, ucf_3step shapes, chained timing)."""
 
+import _bootstrap  # noqa: F401  (sys.path -> repo root)
+
 import time
 
 import jax

@@ -7,6 +7,8 @@ bit-identical and the relay memoizes it. This harness reuses bench.py's
 genuinely data-dependent chain (refined tubes feed back as proposals).
 """
 
+import _bootstrap  # noqa: F401  (sys.path -> repo root)
+
 import time
 
 import jax

@@ -15,6 +15,8 @@ the input (true data dependency; int8 wraparound keeps values live), one
 readback at the end.
 """
 
+import _bootstrap  # noqa: F401  (sys.path -> repo root)
+
 import time
 
 import jax

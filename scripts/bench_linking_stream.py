@@ -19,6 +19,8 @@ function of the previous output, one value readback closes each chain.
 Usage:  python scripts/bench_linking_stream.py [--clips 64] [--buckets 64 128]
 """
 
+import _bootstrap  # noqa: F401  (sys.path -> repo root)
+
 import argparse
 import json
 import time

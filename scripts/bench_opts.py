@@ -11,6 +11,8 @@ Full-program chained methodology (CLAUDE.md): data-dependent proposal
 chain, one readback. Run on the TPU with no other chip user.
 """
 
+import _bootstrap  # noqa: F401  (sys.path -> repo root)
+
 import time
 
 import jax

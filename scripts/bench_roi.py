@@ -5,6 +5,8 @@ relay transport. Prints ms per call for the XLA matmul path and the Pallas
 kernel; the faster one should be the default `roi_impl`.
 """
 
+import _bootstrap  # noqa: F401  (sys.path -> repo root)
+
 import time
 
 import jax

@@ -16,6 +16,8 @@ Full-program chained timing: iteration i feeds a scaled copy of the video
 back in, so dispatches are data-dependent (relay-memoization-proof).
 """
 
+import _bootstrap  # noqa: F401  (sys.path -> repo root)
+
 import time
 
 import jax

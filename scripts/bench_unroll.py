@@ -11,6 +11,8 @@ Chained methodology per CLAUDE.md: data-dependent proposal chain, one
 readback. Run on the TPU with no other chip user.
 """
 
+import _bootstrap  # noqa: F401  (sys.path -> repo root)
+
 import json
 import time
 

@@ -5,6 +5,10 @@
 # The relay serializes the chip — NOTHING else may use the TPU meanwhile.
 set -u
 cd /root/repo
+# Append (never replace — CLAUDE.md) so scripts/*.py can import step_tpu even
+# though their sys.path[0] is scripts/. The r4 queue forgot this and burned
+# 7 runs on ModuleNotFoundError; scripts now also self-bootstrap.
+export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 mkdir -p .sweeps
 RES=.sweeps/r4_results.jsonl
 

@@ -16,6 +16,8 @@ Usage:
   python scripts/compute_flow.py --root /data/ucf24 [--bound 20]
 """
 
+import _bootstrap  # noqa: F401  (sys.path -> repo root)
+
 import argparse
 import os
 

@@ -15,6 +15,8 @@ Usage (config must match the training run that produced the variables):
       --out .synth_ckpts/diag_dump.npz
 """
 
+import _bootstrap  # noqa: F401  (sys.path -> repo root)
+
 import argparse
 import json
 

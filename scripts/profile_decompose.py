@@ -5,6 +5,8 @@ relay transport. All jitted functions take `variables` as an ARGUMENT
 (closing over 22M params embeds them as constants and explodes compile).
 """
 
+import _bootstrap  # noqa: F401  (sys.path -> repo root)
+
 import time
 
 import jax

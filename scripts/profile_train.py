@@ -9,6 +9,8 @@ Run alone on the chip (the relay serializes clients; a concurrent TPU
 process hangs the profiler).
 """
 
+import _bootstrap  # noqa: F401  (sys.path -> repo root)
+
 import argparse
 
 import jax

@@ -8,6 +8,8 @@ lane through). Never run while another process uses the chip.
 Usage: python scripts/trace_detect.py [--batch 128] [--top 40]
 """
 
+import _bootstrap  # noqa: F401  (sys.path -> repo root)
+
 import argparse
 
 import jax

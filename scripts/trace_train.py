@@ -11,6 +11,8 @@ relay serializes; a concurrent client hangs the profiler).
 Usage: python scripts/trace_train.py [--batch 16] [--top 40] [--remat]
 """
 
+import _bootstrap  # noqa: F401  (sys.path -> repo root)
+
 import argparse
 
 import jax

@@ -16,6 +16,8 @@ Examples (run on the TPU):
 Prints ONE JSON line with the config tag and held-out mAPs.
 """
 
+import _bootstrap  # noqa: F401  (sys.path -> repo root)
+
 import argparse
 import json
 import time

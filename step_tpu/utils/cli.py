@@ -14,6 +14,12 @@ script gets the same two generic affordances:
 from __future__ import annotations
 
 import ast
+import re
+
+# Split one --set payload on commas that start a new key=value pair, so
+# ``--set a=1,b=2`` works while tuple values like ``iou_thresholds=(0.4,)``
+# stay intact (their commas are not followed by ``ident=``).
+_PAIR_SPLIT = re.compile(r",(?=[A-Za-z_][A-Za-z0-9_\-]*=)")
 
 
 def add_common_args(parser):
@@ -37,15 +43,30 @@ def force_platform(args) -> None:
 
 
 def apply_overrides(cfg, overrides):
-    """Overlay ``key=value`` strings onto a StepConfig."""
+    """Overlay ``key=value[,key=value...]`` strings onto a StepConfig.
+
+    Values are parsed as Python literals; a value that stays a *string* while
+    the config field is numeric/bool/tuple raises instead of silently
+    overlaying (the round-4 chip queue lost a 90-minute run to
+    ``max_gt_tubes="2,warmup_steps=100"`` sliding through unparsed).
+    """
     over = {}
     for item in overrides:
-        key, _, raw = item.partition("=")
-        if not _:
-            raise ValueError(f"--set expects key=value, got {item!r}")
-        try:
-            value = ast.literal_eval(raw)
-        except (ValueError, SyntaxError):
-            value = raw  # bare strings (e.g. backbone_depth=tiny)
-        over[key.replace("-", "_")] = value
+        for pair in _PAIR_SPLIT.split(item):
+            key, eq, raw = pair.partition("=")
+            if not eq:
+                raise ValueError(f"--set expects key=value, got {pair!r}")
+            try:
+                value = ast.literal_eval(raw)
+            except (ValueError, SyntaxError):
+                value = raw  # bare strings (e.g. backbone_depth=tiny)
+            key = key.replace("-", "_")
+            current = getattr(cfg, key, None)
+            if (isinstance(value, str)
+                    and current is not None
+                    and not isinstance(current, str)):
+                raise ValueError(
+                    f"--set {key}={raw!r} parsed as a string but the config "
+                    f"field is {type(current).__name__} ({current!r})")
+            over[key] = value
     return cfg.replace(**over) if over else cfg
