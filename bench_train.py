@@ -40,7 +40,9 @@ from step_tpu.utils.compile_cache import enable_compile_cache
 enable_compile_cache()
 
 PEAK_BF16_FLOPS = 197e12
-BATCH = 16
+# B=32 won the round-4 batch sweep (87.03 clips/s with remat+dots vs 78.82
+# at B=16); B=64 OOMs even with remat=dots (see .sweeps/train_r4.jsonl).
+BATCH = 32
 ITERS = 10
 # 30 steps = one 20-step flush window (absorbs the compile) + a clean
 # 10-step window; the parser keeps the LAST window's clips/s.
@@ -70,9 +72,12 @@ def main():
                          "step (identical math; A/B vs the rolled scan)")
     ap.add_argument("--batch", type=int, default=BATCH,
                     help="train batch size (default %(default)s)")
-    ap.add_argument("--remat", action="store_true",
+    ap.add_argument("--remat", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="rematerialize the refinement scan body "
-                         "(cfg.remat_steps) — trades FLOPs for HBM")
+                         "(cfg.remat_steps; default: the config default, "
+                         "now ON) — --no-remat times the stored-activation "
+                         "lowering")
     ap.add_argument("--freeze", nargs="*", default=(),
                     help="freeze_submodules names (finetune policy) — "
                          "measures the skipped-backward saving, e.g. "
@@ -89,12 +94,15 @@ def main():
     args = ap.parse_args()
     cfg = PRESETS["ucf_3step"].replace(batch_size=args.batch,
                                        scan_unroll=args.unroll,
-                                       remat_steps=args.remat,
                                        freeze_submodules=tuple(args.freeze))
+    if args.remat is not None:
+        cfg = cfg.replace(remat_steps=args.remat)
     if args.overrides:
         from step_tpu.utils.cli import apply_overrides
 
-        cfg = apply_overrides(cfg, args.overrides.split(","))
+        # apply_overrides itself splits comma-joined pairs (and, unlike a
+        # naive split here, keeps tuple literals intact).
+        cfg = apply_overrides(cfg, [args.overrides])
     from step_tpu.parallel.mesh import create_mesh, replicated_sharding
     from step_tpu.parallel.distributed import make_global_batch
     from step_tpu.train.trainer import (create_train_state,

@@ -260,13 +260,17 @@ class StepConfig:
     # step's tail/head activations instead of storing S copies — trades
     # ~1 extra step-forward of FLOPs for the dominant per-step activation
     # memory. Enables larger train batches when HBM-bound. Math identical
-    # (gradient-equivalence tested).
-    remat_steps: bool = False
+    # (gradient-equivalence tested). Default ON: the round-4 chip sweep
+    # measured remat+dots faster at FIXED batch too (B=16: 78.82 vs 73.07
+    # clips/s; B=32: 87.03 — the no-remat B=32 arm was not even the best
+    # use of the freed HBM), so this is a pure win, not a memory trade.
+    remat_steps: bool = True
     # Remat granularity when remat_steps is on: "full" recomputes the whole
     # step body; "dots" (jax.checkpoint_policies.checkpoint_dots) keeps
     # matmul/conv outputs resident and recomputes only elementwise glue —
-    # usually the better TPU trade when the body is conv-heavy.
-    remat_policy: str = "full"          # "full" | "dots"
+    # the better TPU trade here (chip-measured: B=32 dots 367.7 ms vs full
+    # 377.0 ms, and half the compile time).
+    remat_policy: str = "dots"          # "full" | "dots"
     # Jittered-GT proposals appended during training. Default OFF: when the
     # jittered copies exist they absorb every positive match, the 11 cuboids
     # (the only proposals inference ever sees) train as pure background, and
