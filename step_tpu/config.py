@@ -220,6 +220,12 @@ class StepConfig:
     max_gt_tubes: int = 8               # static padded GT capacity per example
     optimizer: str = "adamw"            # "adamw" | "sgd" (reference uses SGD+momentum)
     momentum: float = 0.9               # sgd only
+    # AdamW first-moment (mu) storage dtype. "bfloat16" halves the HBM
+    # read+write traffic of the mu buffer every optimizer step (the update
+    # math still runs in f32 — optax casts mu in/out); "float32" is exact
+    # Adam. The second moment stays f32 either way (it squares gradients —
+    # bf16's 8 mantissa bits are too coarse for a running variance).
+    adam_mu_dtype: str = "float32"      # "float32" | "bfloat16"
     # SSD-style hard-negative mining for the softmax cls loss: keep the
     # neg_pos_ratio hardest negatives per positive (0 disables → plain mean).
     neg_pos_ratio: float = 3.0

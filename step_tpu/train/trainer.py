@@ -78,7 +78,8 @@ def make_optimizer(cfg: StepConfig) -> optax.GradientTransformation:
             optax.sgd(schedule, momentum=cfg.momentum),
         )
     else:
-        opt = optax.adamw(schedule, weight_decay=cfg.weight_decay)
+        opt = optax.adamw(schedule, weight_decay=cfg.weight_decay,
+                          mu_dtype=jnp.dtype(cfg.adam_mu_dtype))
     opt = optax.chain(optax.clip_by_global_norm(10.0), opt)
     if cfg.freeze_submodules:
         # Finetune policy: frozen top-level subtrees get set_to_zero

@@ -386,3 +386,33 @@ def test_step_lr_schedule_multisteplr_semantics():
     state2, metrics = train_step(state, batch, jax.random.PRNGKey(1),
                                  cfg_sgd, model)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_adam_mu_dtype_bfloat16():
+    """cfg.adam_mu_dtype="bfloat16" stores AdamW's first moment in bf16
+    (halving that buffer's HBM traffic) while nu and the params stay f32,
+    and a train step still produces a finite loss and an f32 update."""
+    cfg = CFG.replace(adam_mu_dtype="bfloat16")
+    model = STEPDetector(cfg)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), model)
+
+    def leaf_dtypes(tree):
+        return {l.dtype for l in jax.tree_util.tree_leaves(tree)
+                if hasattr(l, "dtype")}
+
+    bf16, f32 = jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float32)
+    adam = state.opt_state[1][0]  # chain(clip, adamw) -> adamw's ScaleByAdam
+    assert leaf_dtypes(adam.mu) == {bf16}
+    assert f32 in leaf_dtypes(adam.nu)
+    assert bf16 not in leaf_dtypes(adam.nu)
+
+    raw = make_batch(0, cfg.batch_size, SYN)
+    batch = {k: jnp.asarray(v) for k, v in
+             build_model_batch(raw, cfg, train=True, seed=0).items()
+             if k != "meta"}
+    state2, metrics = train_step(state, batch, jax.random.PRNGKey(1),
+                                 cfg, model)
+    assert np.isfinite(float(metrics["loss"]))
+    assert leaf_dtypes(state2.params) == {f32}
+    adam2 = state2.opt_state[1][0]
+    assert leaf_dtypes(adam2.mu) == {bf16}
