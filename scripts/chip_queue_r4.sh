@@ -90,14 +90,27 @@ run ava60_224_r4 9000 python scripts/train_eval_synth.py \
   --save-variables .sweeps/ava60_vars.msgpack
 
 # 8. Recorded train benchmark artifact (default arm, full run incl. fit).
+#    rc is taken from the command itself (not the tail) and the tracked
+#    artifact is only replaced once the output validates as JSON — a crash
+#    or timeout must never truncate the committed BENCH_TRAIN_r04.json.
 echo "--- bench_train full ($(date +%H:%M:%S)) ---" >&2
-timeout 2400 python bench_train.py 2>.sweeps/bench_train_full.stderr \
-  | tail -1 > BENCH_TRAIN_r04.json
-echo "bench_train rc=$?: $(cat BENCH_TRAIN_r04.json)" >&2
+timeout 2400 python bench_train.py \
+  > .sweeps/bench_train_full.out 2>.sweeps/bench_train_full.stderr
+rc=$?
+tail -1 .sweeps/bench_train_full.out > /tmp/bench_train_r04.json
+if [ $rc -eq 0 ] && python -c "import json; json.load(open('/tmp/bench_train_r04.json'))" 2>/dev/null; then
+  cp /tmp/bench_train_r04.json BENCH_TRAIN_r04.json
+  echo "bench_train OK: $(cat BENCH_TRAIN_r04.json)" >&2
+else
+  echo "bench_train FAILED rc=$rc (artifact left untouched)" >&2
+  tail -4 .sweeps/bench_train_full.stderr >&2
+fi
 
 # 9. Headline inference bench (driver contract sanity).
 echo "--- bench.py ($(date +%H:%M:%S)) ---" >&2
-timeout 2400 python bench.py 2>.sweeps/bench_headline.stderr \
-  | tail -1 > .sweeps/bench_headline_r4.json
-echo "bench rc=$?: $(cat .sweeps/bench_headline_r4.json)" >&2
+timeout 2400 python bench.py \
+  > .sweeps/bench_headline.out 2>.sweeps/bench_headline.stderr
+rc=$?
+tail -1 .sweeps/bench_headline.out > .sweeps/bench_headline_r4.json
+echo "bench rc=$rc: $(cat .sweeps/bench_headline_r4.json)" >&2
 echo "=== chip queue done $(date +%H:%M:%S) ===" >&2

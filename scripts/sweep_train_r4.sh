@@ -24,12 +24,16 @@ run() {
   fi
 }
 
-run "b16_base"            --batch 16
-run "b16_remat_full"      --batch 16 --remat
+# Every arm pins remat/policy EXPLICITLY: the recorded .sweeps/train_r4.jsonl
+# was produced when the config default was remat_steps=False; the sweep's
+# results then flipped the default to remat+dots, so a re-run relying on
+# defaults would silently measure different programs than the arm labels say.
+run "b16_base"            --batch 16 --no-remat
+run "b16_remat_full"      --batch 16 --remat --set remat_policy=full
 run "b16_remat_dots"      --batch 16 --remat --set remat_policy=dots
 run "b32_remat_dots"      --batch 32 --remat --set remat_policy=dots
-run "b32_remat_full"      --batch 32 --remat
+run "b32_remat_full"      --batch 32 --remat --set remat_policy=full
 run "b64_remat_dots"      --batch 64 --remat --set remat_policy=dots
-run "b16_broadcast"       --batch 16 --set scan_broadcast_inputs=True
-run "b16_donate"          --batch 16 --donate-batch
+run "b16_broadcast"       --batch 16 --no-remat --set scan_broadcast_inputs=True
+run "b16_donate"          --batch 16 --no-remat --donate-batch
 echo "sweep done" >&2

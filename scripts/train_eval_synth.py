@@ -90,7 +90,10 @@ def main():
         total_steps=args.steps, max_gt_tubes=2,
     )
     if args.overrides:
-        cfg = apply_overrides(cfg, args.overrides.split(","))
+        # Pass the whole string: apply_overrides splits on pair-boundary
+        # commas itself, keeping tuple literals like iou_thresholds=(0.4,0.5)
+        # intact (a naive .split(",") would shred them).
+        cfg = apply_overrides(cfg, [args.overrides])
     syn = SyntheticConfig(image_size=cfg.image_size,
                           num_frames=cfg.total_frames,
                           num_classes=cfg.num_classes,

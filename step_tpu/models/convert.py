@@ -231,10 +231,14 @@ def convert_torch_i3d(sd: Dict[str, np.ndarray], include_logits: bool = True):
         params["tail"][name] = p
         stats["tail"][name] = s
     if include_logits and "logits.conv3d.weight" in sd:
-        params["logits"] = {
-            "kernel": _conv_kernel(np.asarray(sd["logits.conv3d.weight"])),
-            "bias": np.asarray(sd["logits.conv3d.bias"]),
-        }
+        kernel = _conv_kernel(np.asarray(sd["logits.conv3d.weight"]))
+        # The normalizer treats the classifier bias as optional (some public
+        # ports build the logits conv bias-less); substitute zeros rather
+        # than KeyError — the flax head always carries a bias param.
+        bias = sd.get("logits.conv3d.bias")
+        bias = (np.asarray(bias) if bias is not None
+                else np.zeros(kernel.shape[-1], np.float32))
+        params["logits"] = {"kernel": kernel, "bias": bias}
     as_jnp = lambda tree: jnp.asarray(tree) if isinstance(tree, np.ndarray) else tree
     import jax
 

@@ -68,5 +68,13 @@ def apply_overrides(cfg, overrides):
                 raise ValueError(
                     f"--set {key}={raw!r} parsed as a string but the config "
                     f"field is {type(current).__name__} ({current!r})")
+            if (isinstance(current, str) and not isinstance(value, str)):
+                # The reverse direction is just as silent: roi_impl=0 would
+                # miss every string comparison downstream and fall through
+                # to a slow default path with no error.
+                raise ValueError(
+                    f"--set {key}={raw!r} parsed as "
+                    f"{type(value).__name__} but the config field is a "
+                    f"string ({current!r})")
             over[key] = value
     return cfg.replace(**over) if over else cfg

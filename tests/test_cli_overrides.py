@@ -50,3 +50,10 @@ def test_string_onto_numeric_field_raises():
 def test_missing_equals_raises():
     with pytest.raises(ValueError, match="key=value"):
         apply_overrides(StepConfig(), ["max_gt_tubes"])
+
+
+def test_non_string_onto_string_field_raises():
+    # roi_impl=0 would miss every string comparison downstream and fall
+    # through to a slow default path silently — the guard must be two-way.
+    with pytest.raises(ValueError, match="field is a string"):
+        apply_overrides(StepConfig(), ["roi_impl=0"])

@@ -288,3 +288,16 @@ def test_convert_report_ignored_keys():
 def test_convert_unknown_naming_raises():
     with pytest.raises(KeyError, match="unrecognized"):
         convert_torch_i3d({"backbone.blocks.0.weight": np.zeros(3)})
+
+
+def test_convert_biasless_classifier_gets_zero_bias():
+    """The normalizer treats logits.conv3d.bias as optional (some public
+    ports build the classifier conv bias-less); conversion must substitute
+    zeros, not KeyError."""
+    sd = make_fake_torch_i3d()
+    del sd["logits.conv3d.bias"]
+    out = convert_torch_i3d(sd)
+    bias = np.asarray(out["params"]["logits"]["bias"])
+    kernel = np.asarray(out["params"]["logits"]["kernel"])
+    assert bias.shape == (kernel.shape[-1],)
+    np.testing.assert_array_equal(bias, 0.0)

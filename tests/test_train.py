@@ -286,8 +286,12 @@ def test_remat_steps_gradient_equivalence():
     rng = jax.random.PRNGKey(1)
 
     results = {}
+    # remat_policy must be explicit: the config default flipped to "dots"
+    # in round 4, so remat_steps=True alone would make the "full" arm
+    # config-identical to the "dots" arm and leave the policy=None
+    # lowering untested.
     arms = {"none": dict(remat_steps=False),
-            "full": dict(remat_steps=True),
+            "full": dict(remat_steps=True, remat_policy="full"),
             "dots": dict(remat_steps=True, remat_policy="dots")}
     for name, over in arms.items():
         cfg = CFG.replace(**over)
