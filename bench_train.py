@@ -88,6 +88,13 @@ def main():
     ap.add_argument("--set", dest="overrides", default=None,
                     help="comma-separated cfg overrides, e.g. "
                          "scan_broadcast_inputs=True")
+    ap.add_argument("--vmem-limit-kib", type=int, default=None,
+                    help="A/B arm: compile the train step with "
+                         "xla_tpu_scoped_vmem_limit_kib=<N>. The serving "
+                         "sweep's 65536 arm won +13.3%% on the optimized "
+                         "detect program; unmeasured on the train step "
+                         "(and 98304 regressed serving 3.3x, so this "
+                         "stays an explicit arm, not a default).")
     ap.add_argument("--donate-batch", action="store_true",
                     help="also donate the batch buffers to the step "
                          "(each uploaded batch is consumed exactly once)")
@@ -127,6 +134,12 @@ def main():
         for b in host_batches]
     _phase("compiling train step")
     t0 = time.time()
+    if args.vmem_limit_kib:
+        # Per-program compiler option (survives the relay's remote-compile
+        # path, unlike process-level XLA_FLAGS) — see utils/compile_opts.py.
+        pstep = pstep.lower(state, dev_batches[-1], rng).compile(
+            compiler_options={
+                "xla_tpu_scoped_vmem_limit_kib": str(args.vmem_limit_kib)})
     state, m = pstep(state, dev_batches[-1], rng)   # compile + settle
     _ = float(m["loss"])                             # real value readback
     compile_s = time.time() - t0
@@ -241,6 +254,7 @@ def main():
         "scan_unroll": cfg.scan_unroll,
         "remat_steps": cfg.remat_steps,
         "freeze_submodules": list(cfg.freeze_submodules),
+        "vmem_limit_kib": args.vmem_limit_kib,
         "compile_s": round(compile_s, 1),
         "config": "ucf_3step train (3 steps, 18 frames, 224px, I3D, AdamW)",
         "device": str(jax.devices()[0]),

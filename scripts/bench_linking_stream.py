@@ -125,14 +125,22 @@ def main():
         _ = float(jnp.sum(res["tube_scores"]))
         return (time.time() - t0) / ITERS, compile_s
 
-    buckets = sorted(set([*(args.buckets or ()), max(
-        1 << (L - 1).bit_length(), 1)]))
+    # Buckets run in the order GIVEN, repeats allowed: the r4 queue run
+    # measured the first bucket (L=64) 3.7x slower than the second
+    # (L=128), implicating relay settle after the detect phase rather
+    # than the program itself — re-running a bucket later in the list is
+    # the diagnostic. `link_ms_by_bucket` keeps the LAST (most settled)
+    # measurement per length.
+    buckets = list(args.buckets or ())
+    covering = max(1 << (L - 1).bit_length(), 1)
+    if covering not in buckets:
+        buckets.append(covering)
     link_times = {}
-    for Lb in buckets:
+    for i, Lb in enumerate(buckets):
         lt, cs = time_link(Lb)
         link_times[Lb] = lt
-        print(f"link L={Lb}: {lt * 1e3:.2f} ms/video (compile {cs:.0f}s)",
-              flush=True)
+        print(f"link L={Lb} (pos {i}): {lt * 1e3:.2f} ms/video "
+              f"(compile {cs:.0f}s)", flush=True)
 
     Lb0 = min(b for b in buckets if b >= L)
     link_s = link_times[Lb0]
