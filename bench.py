@@ -87,14 +87,23 @@ def main():
     def detect(variables, rgb, proposals, prop_mask):
         return detect_clip(variables, rgb, proposals, prop_mask, cfg, model)
 
-    # ---- throughput (batched, chained) ----
+    # Throughput program: scoped-VMEM compiler option, +13.3% measured at
+    # this exact program/batch (utils/compile_opts.py has the sweep table).
+    # The B=1 latency program below stays on `detect` (compiler defaults) —
+    # the option is unmeasured at B=1 and CAN regress (the 96 MiB arm lost
+    # 3.3x at B=128).
+    from step_tpu.utils.compile_opts import compile_with_serving_options
+
     t0 = time.time()
-    first = detect(variables, rgb, proposals, prop_mask)
+    detect_batched = compile_with_serving_options(
+        detect, variables, rgb, proposals, prop_mask)
+    first = detect_batched(variables, rgb, proposals, prop_mask)
     # value readback, not block_until_ready: the relay acks the latter
     # before execution finishes, which would under-report compile+settle
     _ = float(jnp.sum(first["tube_scores"]))
     compile_s = time.time() - t0
-    dt = _chained_time(detect, variables, rgb, proposals, prop_mask, ITERS) / ITERS
+    dt = _chained_time(detect_batched, variables, rgb, proposals, prop_mask,
+                       ITERS) / ITERS
     clips_per_sec = BATCH / dt
 
     # ---- MFU from XLA's own FLOP count (per batched call) ----

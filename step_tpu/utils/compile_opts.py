@@ -1,0 +1,68 @@
+"""Measured per-program XLA compiler options for serving.
+
+The round-4 serving sweep (`scripts/bench_sweep.py`, VALIDATION.md) A/B'd
+``xla_tpu_scoped_vmem_limit_kib`` on the optimized B=128 detect program:
+
+    default        456.8 clips/s
+    32768 KiB      507.8 clips/s
+    65536 KiB      517.7 clips/s   <- +13.3%, shipped here
+    98304 KiB      138.8 clips/s   <- catastrophic (3.3x regression)
+
+Scoped VMEM bounds how much VMEM the fusion emitter may assume per fusion;
+64 MiB (half of v5e's 128 MiB) admits deeper fusions on the big NDHWC
+conv+pool blocks, while 96 MiB tips some fusion past the point where its
+working set thrashes. Because the 98304 arm shows the flag CAN regress
+badly, it is applied only where measured: the large-batch optimized
+serving program (bench.py). The B=1 latency program keeps compiler
+defaults until its own arm is measured.
+
+Options are passed per-compile via ``jax.jit(f).lower(*args).compile(
+compiler_options=...)`` — they survive the relay's remote-compile path,
+which process-level XLA_FLAGS may not.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+SERVING_VMEM_LIMIT_KIB = 65536
+
+
+def serving_compiler_options(device=None) -> Optional[dict]:
+    """The measured serving options for `device`, or None off-TPU.
+
+    XLA:CPU (tests, the multichip dryrun) rejects TPU-only flags, so the
+    helper gates on the device platform rather than letting callers guess.
+    """
+    import jax
+
+    if device is None:
+        devices = jax.devices()
+        if not devices:
+            return None
+        device = devices[0]
+    platform = getattr(device, "platform", "")
+    if platform != "tpu" and "tpu" not in str(device).lower():
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": str(SERVING_VMEM_LIMIT_KIB)}
+
+
+def compile_with_serving_options(jitted, *args):
+    """AOT-compile `jitted` for `args` with the serving options when on TPU.
+
+    Returns the plain jitted callable unchanged when no options apply, so
+    CPU callers keep lazy per-shape specialization.
+    """
+    opts = serving_compiler_options()
+    if not opts:
+        return jitted
+    try:
+        return jitted.lower(*args).compile(compiler_options=opts)
+    except Exception as e:  # noqa: BLE001 — fail open: a rejected option
+        # must never take down the caller (bench.py is a driver artifact);
+        # the un-optioned program is always valid.
+        import sys
+
+        print(f"serving compiler options rejected ({type(e).__name__}: {e});"
+              " falling back to default compile", file=sys.stderr, flush=True)
+        return jitted
