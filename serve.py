@@ -38,6 +38,12 @@ def parse_args():
     p.add_argument("--optimized", action="store_true",
                    help="the program was exported with --optimized; fold "
                         "the checkpoint to match")
+    p.add_argument("--vmem-limit-kib", type=int, default=None,
+                   help="compile the program with "
+                        "xla_tpu_scoped_vmem_limit_kib=<N>. 65536 measured "
+                        "+13.3%% on the optimized B=128 program (VALIDATION"
+                        ".md round-4 serving sweep) but 98304 regressed "
+                        "3.3x — opt in per measured batch/program only")
     p.add_argument("--tiny", action="store_true")
     from step_tpu.utils.cli import add_common_args
 
@@ -116,6 +122,19 @@ def main():
     # loop-invariant device constants (two host->device transfers each —
     # never pay them per batch on the relay; CLAUDE.md)
     props, pmask = STEPDetector.initial_proposals(cfg, B)
+    if args.vmem_limit_kib:
+        from step_tpu.utils.compile_opts import compile_with_serving_options
+
+        # AOT-compile with the requested option now (zeros chunk, same
+        # shapes as every real batch) instead of at the first real call.
+        # Channel count mirrors export.py::_detect_arg_specs: flow-stream
+        # programs take 2-channel input.
+        c_in = 3 if cfg.input_stream == "rgb" else 2
+        warm = jnp.zeros((B, cfg.total_frames, cfg.image_size,
+                          cfg.image_size, c_in), jnp.float32)
+        run = compile_with_serving_options(
+            run, variables, warm, props, pmask,
+            vmem_limit_kib=args.vmem_limit_kib)
     detections = []
     for vdir in _video_dirs(args.frames_dir):
         video = os.path.basename(vdir.rstrip("/"))

@@ -28,11 +28,15 @@ from typing import Optional
 SERVING_VMEM_LIMIT_KIB = 65536
 
 
-def serving_compiler_options(device=None) -> Optional[dict]:
+def serving_compiler_options(device=None,
+                             vmem_limit_kib: Optional[int] = None
+                             ) -> Optional[dict]:
     """The measured serving options for `device`, or None off-TPU.
 
     XLA:CPU (tests, the multichip dryrun) rejects TPU-only flags, so the
     helper gates on the device platform rather than letting callers guess.
+    `vmem_limit_kib` overrides the measured default (serve.py exposes it
+    as an explicit CLI arm).
     """
     import jax
 
@@ -44,16 +48,18 @@ def serving_compiler_options(device=None) -> Optional[dict]:
     platform = getattr(device, "platform", "")
     if platform != "tpu" and "tpu" not in str(device).lower():
         return None
-    return {"xla_tpu_scoped_vmem_limit_kib": str(SERVING_VMEM_LIMIT_KIB)}
+    limit = SERVING_VMEM_LIMIT_KIB if vmem_limit_kib is None else vmem_limit_kib
+    return {"xla_tpu_scoped_vmem_limit_kib": str(limit)}
 
 
-def compile_with_serving_options(jitted, *args):
+def compile_with_serving_options(jitted, *args,
+                                 vmem_limit_kib: Optional[int] = None):
     """AOT-compile `jitted` for `args` with the serving options when on TPU.
 
     Returns the plain jitted callable unchanged when no options apply, so
     CPU callers keep lazy per-shape specialization.
     """
-    opts = serving_compiler_options()
+    opts = serving_compiler_options(vmem_limit_kib=vmem_limit_kib)
     if not opts:
         return jitted
     try:

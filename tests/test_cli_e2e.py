@@ -257,10 +257,14 @@ def test_export_then_serve_cli(mini_ucf, tmp_path):
     # serve over one of the miniature dataset's frame dirs
     frames_root = os.path.join(mini_ucf, "rgb-images", "Run", "v2")
     out = str(tmp_path / "served.pkl")
+    # --vmem-limit-kib drives the compile_opts warm-compile path; on CPU
+    # the TPU-only option is inert (helper returns the callable unchanged)
+    # but the arg plumbing and warm-shape construction still execute.
     r = run_cli("serve.py", "--program", prog, "--preset", "ucf_3step",
                 "--ckpt-dir", ckpt, "--frames-dir", frames_root,
                 "--out", out, "--batch-size", "2",
                 "--set", "num_classes=2", "--set", "score_thresh=0.0",
+                "--vmem-limit-kib", "65536",
                 *TINY_SET)
     assert "served" in r
     with open(out, "rb") as f:
