@@ -64,6 +64,18 @@ def _chained_time(detect, variables, rgb, proposals, prop_mask, iters: int):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--latency-vmem-kib", type=int, default=None,
+                    help="A/B arm: compile the B=1 latency program with "
+                         "xla_tpu_scoped_vmem_limit_kib=<N>. Off by default "
+                         "— the option is measured only at B=128 (where "
+                         "65536 won +13.3%% and 98304 lost 3.3x). B=1 "
+                         "latency is only trustworthy inside this warmed "
+                         "process (CLAUDE.md), hence an arm here rather "
+                         "than in scripts/bench_sweep.py.")
+    args = ap.parse_args()
     cfg = PRESETS["ucf_3step"]
     device = jax.devices()[0]
     variables = init_detector_cpu(cfg, jax.random.PRNGKey(0), STEPDetector(cfg))
@@ -191,17 +203,22 @@ def main():
     # transport's share. On a PCIe-attached host the readback is ~µs and
     # p50 approaches the chained mean.
     rgb1, props1, pmask1 = rgb[:1], proposals[:1], prop_mask[:1]
+    detect1 = detect
+    if args.latency_vmem_kib:
+        detect1 = compile_with_serving_options(
+            detect, variables, rgb1, props1, pmask1,
+            vmem_limit_kib=args.latency_vmem_kib)
     lat_chained = (
-        _chained_time(detect, variables, rgb1, props1, pmask1, ITERS) / ITERS
+        _chained_time(detect1, variables, rgb1, props1, pmask1, ITERS) / ITERS
     )
     lats = []
     p = props1
-    out = detect(variables, rgb1, p, pmask1)
+    out = detect1(variables, rgb1, p, pmask1)
     _ = float(jnp.sum(out["tube_scores"]))  # settle
     p = out["tubes"]
     for _ in range(ITERS):
         t0 = time.time()
-        out = detect(variables, rgb1, p, pmask1)
+        out = detect1(variables, rgb1, p, pmask1)
         _ = float(jnp.sum(out["tube_scores"]))  # per-iter value readback
         lats.append(time.time() - t0)
         p = out["tubes"]
@@ -227,6 +244,7 @@ def main():
         "latency_chained_mean_ms": round(lat_chained * 1000.0, 2),
         "latency_readback_overhead_ms": round(readback_overhead_ms, 2),
         "batch": BATCH,
+        "latency_vmem_kib": args.latency_vmem_kib,
         "compile_s": round(compile_s, 1),
         "config": "ucf_3step (3-step refinement, 18 frames, 224px, I3D)",
         "device": str(jax.devices()[0]),
