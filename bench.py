@@ -68,13 +68,16 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--latency-vmem-kib", type=int, default=None,
-                    help="A/B arm: compile the B=1 latency program with "
-                         "xla_tpu_scoped_vmem_limit_kib=<N>. Off by default "
-                         "— the option is measured only at B=128 (where "
-                         "65536 won +13.3%% and 98304 lost 3.3x). B=1 "
-                         "latency is only trustworthy inside this warmed "
-                         "process (CLAUDE.md), hence an arm here rather "
-                         "than in scripts/bench_sweep.py.")
+                    help="A/B arm: ALSO measure the B=1 latency program "
+                         "compiled with xla_tpu_scoped_vmem_limit_kib=<N> "
+                         "(0 = compiler defaults), in the same warmed "
+                         "process as the shipped program. The shipped B=1 "
+                         "program uses 65536 KiB — measured in-context on "
+                         "this exact program/batch: chained mean 6.11 vs "
+                         "6.45 ms default (r4, .sweeps/bench_latvmem_r4.out)."
+                         " B=1 latency is only trustworthy inside this "
+                         "warmed process (CLAUDE.md), hence an arm here "
+                         "rather than in scripts/bench_sweep.py.")
     args = ap.parse_args()
     cfg = PRESETS["ucf_3step"]
     device = jax.devices()[0]
@@ -203,29 +206,50 @@ def main():
     # transport's share. On a PCIe-attached host the readback is ~µs and
     # p50 approaches the chained mean.
     rgb1, props1, pmask1 = rgb[:1], proposals[:1], prop_mask[:1]
-    detect1 = detect
-    if args.latency_vmem_kib:
-        detect1 = compile_with_serving_options(
-            detect, variables, rgb1, props1, pmask1,
-            vmem_limit_kib=args.latency_vmem_kib)
-    lat_chained = (
-        _chained_time(detect1, variables, rgb1, props1, pmask1, ITERS) / ITERS
-    )
-    lats = []
-    p = props1
-    out = detect1(variables, rgb1, p, pmask1)
-    _ = float(jnp.sum(out["tube_scores"]))  # settle
-    p = out["tubes"]
-    for _ in range(ITERS):
-        t0 = time.time()
-        out = detect1(variables, rgb1, p, pmask1)
-        _ = float(jnp.sum(out["tube_scores"]))  # per-iter value readback
-        lats.append(time.time() - t0)
+
+    def _measure_latency(fn):
+        chained = _chained_time(fn, variables, rgb1, props1, pmask1,
+                                ITERS) / ITERS
+        lats = []
+        p = props1
+        out = fn(variables, rgb1, p, pmask1)
+        _ = float(jnp.sum(out["tube_scores"]))  # settle
         p = out["tubes"]
-    lats_ms = np.sort(np.asarray(lats)) * 1000.0
-    p50_ms = float(np.percentile(lats_ms, 50))
-    p90_ms = float(np.percentile(lats_ms, 90))
-    readback_overhead_ms = float(np.mean(lats_ms) - lat_chained * 1000.0)
+        for _ in range(ITERS):
+            t0 = time.time()
+            out = fn(variables, rgb1, p, pmask1)
+            _ = float(jnp.sum(out["tube_scores"]))  # per-iter value readback
+            lats.append(time.time() - t0)
+            p = out["tubes"]
+        lats_ms = np.sort(np.asarray(lats)) * 1000.0
+        return (float(np.percentile(lats_ms, 50)),
+                float(np.percentile(lats_ms, 90)),
+                chained * 1000.0,
+                float(np.mean(lats_ms) - chained * 1000.0))
+
+    # Headline p50/p90 come from the SHIPPED latency program: scoped VMEM
+    # 65536 KiB, measured in-context on this exact program/batch (r4 A/B:
+    # chained mean 6.11 vs 6.45 ms default, p50 33.9 vs 38.8 ms — the
+    # per-program rule is satisfied). The --latency-vmem-kib arm measures a
+    # second compile (0 = compiler defaults) in the SAME warmed process
+    # (CLAUDE.md: only in-context B=1 numbers are trustworthy).
+    detect1 = compile_with_serving_options(
+        detect, variables, rgb1, props1, pmask1)
+    p50_ms, p90_ms, lat_chained_ms, readback_overhead_ms = _measure_latency(
+        detect1)
+    vmem_arm = None
+    if args.latency_vmem_kib is not None:
+        arm_fn = (detect if args.latency_vmem_kib == 0 else
+                  compile_with_serving_options(
+                      detect, variables, rgb1, props1, pmask1,
+                      vmem_limit_kib=args.latency_vmem_kib))
+        a50, a90, achained, _ = _measure_latency(arm_fn)
+        vmem_arm = {
+            "vmem_kib": args.latency_vmem_kib,
+            "p50_latency_ms": round(a50, 2),
+            "p90_latency_ms": round(a90, 2),
+            "latency_chained_mean_ms": round(achained, 2),
+        }
 
     result = {
         "metric": "clips_per_sec_per_chip",
@@ -241,10 +265,10 @@ def main():
         "mfu": round(mfu, 4) if mfu is not None else None,
         "p50_latency_ms": round(p50_ms, 2),
         "p90_latency_ms": round(p90_ms, 2),
-        "latency_chained_mean_ms": round(lat_chained * 1000.0, 2),
+        "latency_chained_mean_ms": round(lat_chained_ms, 2),
         "latency_readback_overhead_ms": round(readback_overhead_ms, 2),
         "batch": BATCH,
-        "latency_vmem_kib": args.latency_vmem_kib,
+        "latency_vmem_arm": vmem_arm,
         "compile_s": round(compile_s, 1),
         "config": "ucf_3step (3-step refinement, 18 frames, 224px, I3D)",
         "device": str(jax.devices()[0]),

@@ -13,8 +13,9 @@ Scoped VMEM bounds how much VMEM the fusion emitter may assume per fusion;
 conv+pool blocks, while 96 MiB tips some fusion past the point where its
 working set thrashes. Because the 98304 arm shows the flag CAN regress
 badly, it is applied only where measured: the large-batch optimized
-serving program (bench.py). The B=1 latency program keeps compiler
-defaults until its own arm is measured.
+serving program (bench.py) and, since its own in-context A/B (r4:
+chained mean 6.11 vs 6.45 ms, −5.3%), the B=1 latency program too.
+Unmeasured program/batch combinations stay on compiler defaults.
 
 Options are passed per-compile via ``jax.jit(f).lower(*args).compile(
 compiler_options=...)`` — they survive the relay's remote-compile path,
