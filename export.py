@@ -46,8 +46,12 @@ def main():
     cfg = apply_overrides(cfg, args.overrides)
     if args.optimized:
         # program-shape change only — the matching folded variables are
-        # produced at serving time by optimize_for_inference
-        cfg = cfg.replace(bn_folded=True, fused_inception=True)
+        # produced at serving time by optimize_for_inference; the config
+        # half is shared so the exported program carries the FULL serving
+        # flag set (incl. the measured scan_unroll win)
+        from step_tpu.models.optimize import inference_optimized_config
+
+        cfg = inference_optimized_config(cfg)
     platforms = args.platforms.split(",") if args.platforms else None
     blob = export_detect_fn(cfg, batch_size=args.batch_size,
                             platforms=platforms)

@@ -59,9 +59,15 @@ def main():
 
     B, T = args.batch, cfg.total_frames
     rng = np.random.RandomState(0)
-    rgb = jax.device_put(jnp.asarray(
-        rng.rand(B, T, cfg.image_size, cfg.image_size, 3), jnp.float32),
-        device)
+    frames = rng.rand(B, T, cfg.image_size, cfg.image_size, 3)
+    if cfg.uint8_transfer:
+        # the exported program's input spec follows cfg.uint8_transfer
+        # (utils/export.py::_detect_arg_specs); feed the SAME wire array to
+        # the live program so the live-vs-AOT parity check stays exact
+        from step_tpu.data.pipeline import rgb_to_uint8_wire
+
+        frames = rgb_to_uint8_wire(frames)
+    rgb = jax.device_put(jnp.asarray(frames), device)
     proposals, prop_mask = STEPDetector.initial_proposals(cfg, B)
     proposals, prop_mask = jax.device_put((proposals, prop_mask), device)
 

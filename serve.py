@@ -122,16 +122,30 @@ def main():
     # loop-invariant device constants (two host->device transfers each —
     # never pay them per batch on the relay; CLAUDE.md)
     props, pmask = STEPDetector.initial_proposals(cfg, B)
+
+    # Wire format must match the exported program's input spec
+    # (utils/export.py::_detect_arg_specs follows cfg.uint8_transfer):
+    # quantized frames are 4x less host->device bandwidth, dequantized on
+    # device, and bit-identical to the eval pipeline's pixels.
+    if cfg.uint8_transfer:
+        from step_tpu.data.pipeline import flow_to_int8_wire, rgb_to_uint8_wire
+
+        _wire = (rgb_to_uint8_wire if cfg.input_stream == "rgb"
+                 else flow_to_int8_wire)
+    else:
+        def _wire(x):
+            return np.asarray(x, np.float32)
     if args.vmem_limit_kib:
         from step_tpu.utils.compile_opts import compile_with_serving_options
 
         # AOT-compile with the requested option now (zeros chunk, same
-        # shapes as every real batch) instead of at the first real call.
-        # Channel count mirrors export.py::_detect_arg_specs: flow-stream
-        # programs take 2-channel input.
+        # shapes/dtype as every real batch) instead of at the first real
+        # call. Channel count mirrors export.py::_detect_arg_specs:
+        # flow-stream programs take 2-channel input.
         c_in = 3 if cfg.input_stream == "rgb" else 2
-        warm = jnp.zeros((B, cfg.total_frames, cfg.image_size,
-                          cfg.image_size, c_in), jnp.float32)
+        warm = jnp.asarray(_wire(np.zeros(
+            (B, cfg.total_frames, cfg.image_size, cfg.image_size, c_in),
+            np.float32)))
         run = compile_with_serving_options(
             run, variables, warm, props, pmask,
             vmem_limit_kib=args.vmem_limit_kib)
@@ -146,7 +160,7 @@ def main():
             if n < B:  # pad the final batch; padded rows dropped below
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], B - n, axis=0)])
-            out = run(variables, jnp.asarray(chunk), props, pmask)
+            out = run(variables, jnp.asarray(_wire(chunk)), props, pmask)
             boxes = np.asarray(out["frame_boxes"])[:n]
             scores = np.asarray(out["frame_scores"])[:n]
             mask = np.asarray(out["frame_mask"])[:n]

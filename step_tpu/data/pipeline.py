@@ -39,6 +39,15 @@ def rgb_to_uint8_wire(rgb: np.ndarray) -> np.ndarray:
     return (np.clip(rgb, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
 
 
+def flow_to_int8_wire(flow: np.ndarray) -> np.ndarray:
+    """THE [-1,1]-float → int8 wire quantizer (flow analog of the rgb
+    uint8 path; same single-owner rationale). JPEG-sourced flow is already
+    quantized at 1/127.5, so int8 is near-lossless (round() costs ≤1/254
+    of the range; u8 levels 127/128 collapse to one code) and 4x cheaper
+    to ship — dequantized on device by preprocess.device_preprocess_flow."""
+    return np.clip(np.round(flow * 127.0), -127, 127).astype(np.int8)
+
+
 def jitter_gt_proposals(
     gt_tubes: np.ndarray,   # [G, T, 4]
     gt_mask: np.ndarray,    # [G]
@@ -134,13 +143,7 @@ def build_model_batch(
     }
     if "flow" in raw:
         if emit_uint8:
-            # flow analog of the rgb uint8 path: JPEG-sourced flow is
-            # already quantized at 1/127.5, so the int8 wire format is
-            # near-lossless (round() costs ≤1/254 of the [-1,1] range; u8
-            # levels 127/128 collapse to one code) and 4x cheaper to ship
-            # (dequantized on device — preprocess.device_preprocess_flow)
-            batch["flow"] = np.clip(
-                np.round(raw["flow"] * 127.0), -127, 127).astype(np.int8)
+            batch["flow"] = flow_to_int8_wire(raw["flow"])
         else:
             batch["flow"] = raw["flow"].astype(np.float32)
     if cfg.multilabel and labels.ndim == 2:

@@ -161,6 +161,24 @@ def fuse_inception3_variables(
     return {"params": walk(fused["params"])}
 
 
+def inference_optimized_config(
+    cfg: StepConfig, fuse_inception: bool = True,
+    fuse_inception3: str = "none",
+) -> StepConfig:
+    """The config half of `optimize_for_inference` (no variables needed).
+
+    Single owner of the serving-config flag set so CLI surfaces that only
+    shape the PROGRAM (export.py --optimized: the folded variables are
+    produced at serving time) cannot drift from the serving path — the
+    round-4 audit found export.py hand-setting bn_folded/fused_inception
+    but missing scan_unroll (the measured +1.6% unroll win) and
+    fused_bn_relu=False.
+    """
+    return cfg.replace(bn_folded=True, fused_inception=fuse_inception,
+                       fused_inception3=fuse_inception3,
+                       fused_bn_relu=False, scan_unroll=True)
+
+
 def optimize_for_inference(
     cfg: StepConfig, variables, fuse_inception: bool = True,
     fuse_inception3: str = "none",
@@ -186,7 +204,6 @@ def optimize_for_inference(
     # measured 455.8 vs 448.8 clips/s at B=128 (scripts/bench_unroll.py,
     # bit-exact: max |Δscores| = 0 — same stacked per-step params, indexed
     # instead of scanned).
-    cfg_opt = cfg.replace(bn_folded=True, fused_inception=fuse_inception,
-                          fused_inception3=fuse_inception3,
-                          fused_bn_relu=False, scan_unroll=True)
+    cfg_opt = inference_optimized_config(cfg, fuse_inception=fuse_inception,
+                                         fuse_inception3=fuse_inception3)
     return cfg_opt, out

@@ -38,8 +38,19 @@ def _detect_arg_specs(cfg: StepConfig, batch_size: int):
     # 3-channel frames, flow-stream detectors (late-fusion protocol) take
     # 2-channel [-1,1] flow.
     C_in = 3 if cfg.input_stream == "rgb" else 2
+    # Wire dtype follows cfg.uint8_transfer (the default): quantized frames
+    # over the host->device link — 4x less PCIe/relay bandwidth — with
+    # device_preprocess/_flow normalizing ON DEVICE inside the program
+    # (models/detector.py). This matches the train/eval loaders' wire
+    # format (data/pipeline.py::rgb_to_uint8_wire, the int8 flow wire), so
+    # served pixels are bit-identical to evaluated pixels. Set
+    # uint8_transfer=False for a float32-input program.
+    if cfg.uint8_transfer:
+        in_dtype = jnp.uint8 if cfg.input_stream == "rgb" else jnp.int8
+    else:
+        in_dtype = jnp.float32
     return (
-        jax.ShapeDtypeStruct((batch_size, T, S, S, C_in), jnp.float32),
+        jax.ShapeDtypeStruct((batch_size, T, S, S, C_in), in_dtype),
         jax.ShapeDtypeStruct((batch_size, P, T, 4), jnp.float32),
         jax.ShapeDtypeStruct((batch_size, P), jnp.float32),
     )
