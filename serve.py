@@ -150,9 +150,19 @@ def main():
             run, variables, warm, props, pmask,
             vmem_limit_kib=args.vmem_limit_kib)
     detections = []
-    for vdir in _video_dirs(args.frames_dir):
+    # Decode the NEXT video's JPEGs on a worker thread while the TPU serves
+    # the current one (same overlap pattern as evaluate.py's eval loop —
+    # cv2 decode releases the GIL, so one worker hides most of the decode).
+    from concurrent.futures import ThreadPoolExecutor
+
+    vdirs = _video_dirs(args.frames_dir)
+    pool = ThreadPoolExecutor(1)
+    pending = pool.submit(_load_clips, vdirs[0], cfg)
+    for i, vdir in enumerate(vdirs):
         video = os.path.basename(vdir.rstrip("/"))
-        clips, idx = _load_clips(vdir, cfg)
+        clips, idx = pending.result()
+        if i + 1 < len(vdirs):
+            pending = pool.submit(_load_clips, vdirs[i + 1], cfg)
         L = clips.shape[0]
         for s in range(0, L, B):
             chunk = clips[s : s + B]
@@ -174,6 +184,7 @@ def main():
                         (video, fi + 1), int(c),
                         float(scores[b, t, c, k]), boxes[b, t, c, k]))
         print(f"{video}: {L} clips served", flush=True)
+    pool.shutdown()
 
     with open(args.out, "wb") as f:
         pickle.dump({"detections": detections}, f)
