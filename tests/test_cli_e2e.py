@@ -273,6 +273,32 @@ def test_export_then_serve_cli(mini_ucf, tmp_path):
     for (video, frame), c, s, box in dets[:5]:
         assert frame >= 1 and 0 <= c < 2 and np.isfinite(s)
 
+    # multi-video mode: --frames-dir pointing at a directory of per-video
+    # directories drives the decode-prefetch overlap loop (next video's
+    # JPEGs decode on a worker thread while the current one is served)
+    multi_root = os.path.join(mini_ucf, "rgb-images", "Run")  # v1 + v2
+    out2 = str(tmp_path / "served_multi.pkl")
+    r = run_cli("serve.py", "--program", prog, "--preset", "ucf_3step",
+                "--ckpt-dir", ckpt, "--frames-dir", multi_root,
+                "--out", out2, "--batch-size", "2",
+                "--set", "num_classes=2", "--set", "score_thresh=0.0",
+                *TINY_SET)
+    assert "v1" in r and "v2" in r
+    with open(out2, "rb") as f:
+        dets2 = pickle.load(f)["detections"]
+    served_videos = {video for (video, _), *_ in dets2}
+    assert served_videos == {"v1", "v2"}
+    # v2 alone was served above; its detections must be identical whether
+    # it is served standalone or via the prefetching multi-video loop
+    v2_multi = [d for d in dets2 if d[0][0] == "v2"]
+    assert len(v2_multi) == len(dets)
+    for (ka, ca, sa, ba), (kb, cb, sb, bb) in zip(
+            sorted(dets, key=lambda d: (d[0][1], d[1], -d[2])),
+            sorted(v2_multi, key=lambda d: (d[0][1], d[1], -d[2]))):
+        assert ka[1] == kb[1] and ca == cb
+        np.testing.assert_allclose(sa, sb, rtol=1e-5)
+        np.testing.assert_allclose(ba, bb, rtol=1e-4, atol=1e-4)
+
 
 def test_demo_cli(tmp_path):
     """demo.py end-to-end: tiny synthetic video in → annotated video out,
