@@ -104,9 +104,10 @@ def main():
 
     # Throughput program: scoped-VMEM compiler option, +13.3% measured at
     # this exact program/batch (utils/compile_opts.py has the sweep table).
-    # The B=1 latency program below stays on `detect` (compiler defaults) —
-    # the option is unmeasured at B=1 and CAN regress (the 96 MiB arm lost
-    # 3.3x at B=128).
+    # The B=1 latency program below compiles with the same option since its
+    # own in-context A/B (r4: 6.11 vs 6.45 ms chained, −5.3%) — per-program
+    # measurement is mandatory because the flag CAN regress (the 96 MiB
+    # arm lost 3.3x at B=128).
     from step_tpu.utils.compile_opts import compile_with_serving_options
 
     t0 = time.time()

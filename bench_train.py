@@ -90,11 +90,13 @@ def main():
                          "scan_broadcast_inputs=True")
     ap.add_argument("--vmem-limit-kib", type=int, default=None,
                     help="A/B arm: compile the train step with "
-                         "xla_tpu_scoped_vmem_limit_kib=<N>. The serving "
-                         "sweep's 65536 arm won +13.3%% on the optimized "
-                         "detect program; unmeasured on the train step "
-                         "(and 98304 regressed serving 3.3x, so this "
-                         "stays an explicit arm, not a default).")
+                         "xla_tpu_scoped_vmem_limit_kib=<N>. MEASURED on "
+                         "the train step in the r4c queue: 32768 is noise "
+                         "(88.25 clips/s, inside the ±2%% spread) and "
+                         "65536's compile blew the 1500 s arm timeout — "
+                         "the serving win does not transfer, so this "
+                         "stays an explicit arm for future hardware "
+                         "(VALIDATION.md queue-v3 follow-ups).")
     ap.add_argument("--donate-batch", action="store_true",
                     help="also donate the batch buffers to the step "
                          "(each uploaded batch is consumed exactly once)")
@@ -136,10 +138,14 @@ def main():
     t0 = time.time()
     if args.vmem_limit_kib:
         # Per-program compiler option (survives the relay's remote-compile
-        # path, unlike process-level XLA_FLAGS) — see utils/compile_opts.py.
-        pstep = pstep.lower(state, dev_batches[-1], rng).compile(
-            compiler_options={
-                "xla_tpu_scoped_vmem_limit_kib": str(args.vmem_limit_kib)})
+        # path, unlike process-level XLA_FLAGS). The shared helper gates on
+        # TPU and fails open if the backend rejects the flag, so a bad arm
+        # still produces a benchmark line.
+        from step_tpu.utils.compile_opts import compile_with_serving_options
+
+        pstep = compile_with_serving_options(
+            pstep, state, dev_batches[-1], rng,
+            vmem_limit_kib=args.vmem_limit_kib)
     state, m = pstep(state, dev_batches[-1], rng)   # compile + settle
     _ = float(m["loss"])                             # real value readback
     compile_s = time.time() - t0

@@ -48,10 +48,12 @@ def main():
         # program-shape change only — the matching folded variables are
         # produced at serving time by optimize_for_inference; the config
         # half is shared so the exported program carries the FULL serving
-        # flag set (incl. the measured scan_unroll win)
-        from step_tpu.models.optimize import inference_optimized_config
+        # flag set (incl. the measured scan_unroll win). Explicit --set
+        # overrides of serving flags win over the optimized defaults
+        # (mirror them on the serving side so the variable tree matches).
+        from step_tpu.models.optimize import optimize_for_inference_cli
 
-        cfg = inference_optimized_config(cfg)
+        cfg, _ = optimize_for_inference_cli(cfg, args.overrides)
     platforms = args.platforms.split(",") if args.platforms else None
     blob = export_detect_fn(cfg, batch_size=args.batch_size,
                             platforms=platforms)

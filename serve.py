@@ -104,14 +104,24 @@ def main():
     if args.tiny:
         cfg = cfg.replace(backbone_depth="tiny", feature_stride=8)
     cfg = apply_overrides(cfg, args.overrides)
+    if cfg.input_stream != "rgb":
+        # _load_clips decodes RGB JPEGs; a flow-exported program takes
+        # 2-channel int8 flow, which cannot be synthesized from frames
+        # here. Flow-stream eval goes through test.py --flow-ckpt-dir
+        # with precomputed flow (scripts/compute_flow.py).
+        raise SystemExit("serve.py serves RGB-stream programs only "
+                         f"(input_stream={cfg.input_stream!r})")
 
     state = create_train_state(cfg, jax.random.PRNGKey(0), STEPDetector(cfg))
     state, _ = restore_checkpoint(args.ckpt_dir, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     if args.optimized:
-        from step_tpu.models.optimize import optimize_for_inference
+        from step_tpu.models.optimize import optimize_for_inference_cli
 
-        cfg, variables = optimize_for_inference(cfg, variables)
+        # explicit --set serving flags win over the optimized defaults —
+        # MUST match the flags the program was exported with
+        cfg, variables = optimize_for_inference_cli(
+            cfg, args.overrides, variables)
 
     with open(args.program, "rb") as f:
         run = load_detect_fn(f.read())
@@ -128,10 +138,7 @@ def main():
     # quantized frames are 4x less host->device bandwidth, dequantized on
     # device, and bit-identical to the eval pipeline's pixels.
     if cfg.uint8_transfer:
-        from step_tpu.data.pipeline import flow_to_int8_wire, rgb_to_uint8_wire
-
-        _wire = (rgb_to_uint8_wire if cfg.input_stream == "rgb"
-                 else flow_to_int8_wire)
+        from step_tpu.data.pipeline import rgb_to_uint8_wire as _wire
     else:
         def _wire(x):
             return np.asarray(x, np.float32)
@@ -140,11 +147,9 @@ def main():
 
         # AOT-compile with the requested option now (zeros chunk, same
         # shapes/dtype as every real batch) instead of at the first real
-        # call. Channel count mirrors export.py::_detect_arg_specs:
-        # flow-stream programs take 2-channel input.
-        c_in = 3 if cfg.input_stream == "rgb" else 2
+        # call.
         warm = jnp.asarray(_wire(np.zeros(
-            (B, cfg.total_frames, cfg.image_size, cfg.image_size, c_in),
+            (B, cfg.total_frames, cfg.image_size, cfg.image_size, 3),
             np.float32)))
         run = compile_with_serving_options(
             run, variables, warm, props, pmask,
@@ -157,34 +162,38 @@ def main():
 
     vdirs = _video_dirs(args.frames_dir)
     pool = ThreadPoolExecutor(1)
-    pending = pool.submit(_load_clips, vdirs[0], cfg)
-    for i, vdir in enumerate(vdirs):
-        video = os.path.basename(vdir.rstrip("/"))
-        clips, idx = pending.result()
-        if i + 1 < len(vdirs):
-            pending = pool.submit(_load_clips, vdirs[i + 1], cfg)
-        L = clips.shape[0]
-        for s in range(0, L, B):
-            chunk = clips[s : s + B]
-            n = chunk.shape[0]
-            if n < B:  # pad the final batch; padded rows dropped below
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[-1:], B - n, axis=0)])
-            out = run(variables, jnp.asarray(_wire(chunk)), props, pmask)
-            boxes = np.asarray(out["frame_boxes"])[:n]
-            scores = np.asarray(out["frame_scores"])[:n]
-            mask = np.asarray(out["frame_mask"])[:n]
-            for b in range(n):
-                keep = np.argwhere((mask[b] > 0) & (scores[b] > cfg.score_thresh))
-                for t, c, k in keep:
-                    fi = int(idx[s + b, t])
-                    if fi < 0:  # repeated-tail padding, not a real frame
-                        continue
-                    detections.append((
-                        (video, fi + 1), int(c),
-                        float(scores[b, t, c, k]), boxes[b, t, c, k]))
-        print(f"{video}: {L} clips served", flush=True)
-    pool.shutdown()
+    try:
+        pending = pool.submit(_load_clips, vdirs[0], cfg)
+        for i, vdir in enumerate(vdirs):
+            video = os.path.basename(vdir.rstrip("/"))
+            clips, idx = pending.result()
+            if i + 1 < len(vdirs):
+                pending = pool.submit(_load_clips, vdirs[i + 1], cfg)
+            L = clips.shape[0]
+            for s in range(0, L, B):
+                chunk = clips[s : s + B]
+                n = chunk.shape[0]
+                if n < B:  # pad the final batch; padded rows dropped below
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[-1:], B - n, axis=0)])
+                out = run(variables, jnp.asarray(_wire(chunk)), props, pmask)
+                boxes = np.asarray(out["frame_boxes"])[:n]
+                scores = np.asarray(out["frame_scores"])[:n]
+                mask = np.asarray(out["frame_mask"])[:n]
+                for b in range(n):
+                    keep = np.argwhere(
+                        (mask[b] > 0) & (scores[b] > cfg.score_thresh))
+                    for t, c, k in keep:
+                        fi = int(idx[s + b, t])
+                        if fi < 0:  # repeated-tail padding, not a real frame
+                            continue
+                        detections.append((
+                            (video, fi + 1), int(c),
+                            float(scores[b, t, c, k]), boxes[b, t, c, k]))
+            print(f"{video}: {L} clips served", flush=True)
+    finally:
+        # don't block a failing serve on the in-flight prefetch decode
+        pool.shutdown(wait=False, cancel_futures=True)
 
     with open(args.out, "wb") as f:
         pickle.dump({"detections": detections}, f)

@@ -207,3 +207,37 @@ def optimize_for_inference(
     cfg_opt = inference_optimized_config(cfg, fuse_inception=fuse_inception,
                                          fuse_inception3=fuse_inception3)
     return cfg_opt, out
+
+
+def optimize_for_inference_cli(cfg, overrides, variables=None):
+    """``--optimized`` honoring explicit ``--set`` flags.
+
+    `inference_optimized_config` force-sets the full serving flag set
+    (bn_folded, fused_inception[3], fused_bn_relu, scan_unroll), which the
+    round-4 review found silently clobbering explicit --set overrides of
+    those same flags (e.g. ``--optimized --set scan_unroll=False`` exported
+    the unrolled program anyway). Here the user's explicit flags win:
+    fused_inception / fused_inception3 are routed into the variable
+    transformation so program and variable tree stay matched, and every
+    override is re-applied on top of the optimized config. ``bn_folded``
+    cannot be overridden — the folded tree is what --optimized *means*.
+
+    With ``variables=None`` only the config is transformed (export.py,
+    which ships the program shape; the matching variables are produced at
+    serving time). Returns ``(cfg, variables_or_None)``.
+    """
+    from step_tpu.utils.cli import apply_overrides, parse_overrides
+
+    ov = parse_overrides(cfg, overrides)
+    if ov.get("bn_folded") is False:
+        raise ValueError("--set bn_folded=False conflicts with --optimized")
+    fuse = ov.get("fused_inception", True)
+    fuse3 = ov.get("fused_inception3", "none")
+    if variables is None:
+        cfg = inference_optimized_config(cfg, fuse_inception=fuse,
+                                         fuse_inception3=fuse3)
+        out = None
+    else:
+        cfg, out = optimize_for_inference(cfg, variables, fuse_inception=fuse,
+                                          fuse_inception3=fuse3)
+    return apply_overrides(cfg, overrides), out

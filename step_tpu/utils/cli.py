@@ -43,12 +43,22 @@ def force_platform(args) -> None:
 
 
 def apply_overrides(cfg, overrides):
-    """Overlay ``key=value[,key=value...]`` strings onto a StepConfig.
+    """Overlay ``key=value[,key=value...]`` strings onto a StepConfig."""
+    over = parse_overrides(cfg, overrides)
+    return cfg.replace(**over) if over else cfg
+
+
+def parse_overrides(cfg, overrides) -> dict:
+    """Parse ``key=value[,key=value...]`` strings into a typed dict.
 
     Values are parsed as Python literals; a value that stays a *string* while
     the config field is numeric/bool/tuple raises instead of silently
     overlaying (the round-4 chip queue lost a 90-minute run to
     ``max_gt_tubes="2,warmup_steps=100"`` sliding through unparsed).
+
+    Exposed separately from `apply_overrides` so --optimized surfaces can
+    see WHICH flags the user set explicitly (models/optimize.py::
+    optimize_for_inference_cli lets those win over the serving defaults).
     """
     over = {}
     for item in overrides:
@@ -77,4 +87,4 @@ def apply_overrides(cfg, overrides):
                     f"{type(value).__name__} but the config field is a "
                     f"string ({current!r})")
             over[key] = value
-    return cfg.replace(**over) if over else cfg
+    return over

@@ -83,9 +83,11 @@ def main():
             raise SystemExit("--optimized does not combine with "
                              "--flow-ckpt-dir (transform each stream "
                              "explicitly via models/optimize.py)")
-        from step_tpu.models.optimize import optimize_for_inference
+        from step_tpu.models.optimize import optimize_for_inference_cli
 
-        cfg, variables = optimize_for_inference(cfg, variables)
+        # explicit --set serving flags win over the optimized defaults
+        cfg, variables = optimize_for_inference_cli(
+            cfg, args.overrides, variables)
         model = STEPDetector(cfg)
 
     mesh = None

@@ -300,6 +300,22 @@ def test_export_then_serve_cli(mini_ucf, tmp_path):
         np.testing.assert_allclose(ba, bb, rtol=1e-4, atol=1e-4)
 
 
+def test_serve_rejects_flow_stream(tmp_path):
+    """serve.py decodes RGB JPEGs; a flow-stream config must be refused
+    up front (its exported program takes 2-channel int8 flow that cannot
+    be synthesized from frames) rather than crash at call time."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "serve.py"), "--platform", "cpu",
+         "--program", "nonexistent.stablehlo", "--ckpt-dir", str(tmp_path),
+         "--frames-dir", str(tmp_path), "--set", "input_stream=flow"],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode != 0
+    assert "RGB-stream programs only" in proc.stderr
+
+
 def test_demo_cli(tmp_path):
     """demo.py end-to-end: tiny synthetic video in → annotated video out,
     through the single compiled detect_video program (random weights)."""

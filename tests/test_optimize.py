@@ -198,3 +198,44 @@ def test_optimized_plus_compact_detection(setup):
     np.testing.assert_allclose(np.asarray(det["frame_boxes"]),
                                np.asarray(det_ref["frame_boxes"]),
                                rtol=1e-3, atol=5e-2)
+
+
+def test_optimize_cli_overrides_win(setup):
+    """--optimized + explicit --set serving flags: the user's flags must
+    survive inference_optimized_config's force-set (round-4 review
+    finding: export.py --optimized --set scan_unroll=False silently
+    exported the unrolled program)."""
+    from step_tpu.models.optimize import optimize_for_inference_cli
+
+    _, variables, *_ = setup
+
+    # default: the full serving flag set
+    cfg, out = optimize_for_inference_cli(CFG, [], variables)
+    assert cfg.scan_unroll and cfg.bn_folded and cfg.fused_inception
+    assert out is not None and "bn_scale" not in str(out)
+
+    # program-only flag override wins
+    cfg, _ = optimize_for_inference_cli(
+        CFG, ["scan_unroll=False"], variables)
+    assert cfg.scan_unroll is False and cfg.bn_folded
+
+    # variable-affecting flag override routes into the transformation:
+    # fused_inception=False keeps the separate 1x1 branch convs
+    cfg, out = optimize_for_inference_cli(
+        CFG, ["fused_inception=False"], variables)
+    assert cfg.fused_inception is False
+
+    def _has_key(tree, name):
+        if isinstance(tree, dict):
+            return name in tree or any(_has_key(v, name) for v in tree.values())
+        return False
+
+    assert not _has_key(out["params"], "b12")  # unfused tree
+
+    # config-only path (export.py: no variables at export time)
+    cfg, out = optimize_for_inference_cli(CFG, ["scan_unroll=False"])
+    assert out is None and cfg.scan_unroll is False and cfg.bn_folded
+
+    # unfolding is not a thing --optimized can mean
+    with pytest.raises(ValueError, match="bn_folded"):
+        optimize_for_inference_cli(CFG, ["bn_folded=False"], variables)
