@@ -85,9 +85,12 @@ def main():
     ap.add_argument("--skip-fit", action="store_true",
                     help="device-step timing only (skip the fit() loop "
                          "arms — for quick A/Bs)")
-    ap.add_argument("--set", dest="overrides", default=None,
+    ap.add_argument("--set", dest="overrides", action="append", default=[],
                     help="comma-separated cfg overrides, e.g. "
-                         "scan_broadcast_inputs=True")
+                         "scan_broadcast_inputs=True (repeatable, matching "
+                         "every other CLI's --set — a plain store silently "
+                         "dropped all but the last flag, mislabeling "
+                         "composed arms)")
     ap.add_argument("--vmem-limit-kib", type=int, default=None,
                     help="A/B arm: compile the train step with "
                          "xla_tpu_scoped_vmem_limit_kib=<N>. MEASURED on "
@@ -111,7 +114,7 @@ def main():
 
         # apply_overrides itself splits comma-joined pairs (and, unlike a
         # naive split here, keeps tuple literals intact).
-        cfg = apply_overrides(cfg, [args.overrides])
+        cfg = apply_overrides(cfg, args.overrides)
     from step_tpu.parallel.mesh import create_mesh, replicated_sharding
     from step_tpu.parallel.distributed import make_global_batch
     from step_tpu.train.trainer import (create_train_state,
@@ -136,14 +139,16 @@ def main():
         for b in host_batches]
     _phase("compiling train step")
     t0 = time.time()
+    vmem_applied = None
     if args.vmem_limit_kib:
         # Per-program compiler option (survives the relay's remote-compile
         # path, unlike process-level XLA_FLAGS). The shared helper gates on
         # TPU and fails open if the backend rejects the flag, so a bad arm
-        # still produces a benchmark line.
+        # still produces a benchmark line — with vmem_applied=False in the
+        # JSON so the line cannot be booked as the optioned arm.
         from step_tpu.utils.compile_opts import compile_with_serving_options
 
-        pstep = compile_with_serving_options(
+        pstep, vmem_applied = compile_with_serving_options(
             pstep, state, dev_batches[-1], rng,
             vmem_limit_kib=args.vmem_limit_kib)
     state, m = pstep(state, dev_batches[-1], rng)   # compile + settle
@@ -256,11 +261,14 @@ def main():
         "fit_clips_per_sec_prefetch": (round(fit_cps_pf, 2)
                                        if fit_cps_pf else None),
         "batch": cfg.batch_size,
-        "overrides": args.overrides,
+        "overrides": ",".join(args.overrides) or None,
         "scan_unroll": cfg.scan_unroll,
         "remat_steps": cfg.remat_steps,
         "freeze_submodules": list(cfg.freeze_submodules),
         "vmem_limit_kib": args.vmem_limit_kib,
+        # False = the backend rejected the option; step_ms above is the
+        # DEFAULT program's, not the requested arm's
+        "vmem_applied": vmem_applied,
         "compile_s": round(compile_s, 1),
         "config": "ucf_3step train (3 steps, 18 frames, 224px, I3D, AdamW)",
         "device": str(jax.devices()[0]),

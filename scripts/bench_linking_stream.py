@@ -36,6 +36,7 @@ from step_tpu.models.optimize import optimize_for_inference
 from step_tpu.tubes.linking import link_tubes_multiclass_k
 from step_tpu.utils.compile_cache import enable_compile_cache
 from step_tpu.utils.init import init_detector_cpu
+from step_tpu.utils.profiling import chained_timer
 
 enable_compile_cache()
 
@@ -73,16 +74,14 @@ def main():
         return detect_clip(variables, rgb, proposals, prop_mask, cfg, model)
 
     # ---- detection phase (the collect_video_tubes inner loop shape) ----
-    out = detect(variables, rgb, props, pmask)
-    _ = float(jnp.sum(out["tube_scores"]))            # compile + settle
+    # Canonical chained timing (utils/profiling.chained_timer): continues
+    # the timed chain from the warmup output — restarting from `props`
+    # would make iteration 1 byte-identical to the memoized warmup dispatch.
     n_batches = -(-L // B)
-    t0 = time.time()
-    p = props
-    for _ in range(ITERS * n_batches):
-        out = detect(variables, rgb, p, pmask)
-        p = out["tubes"]
-    _ = float(jnp.sum(out["tube_scores"]))
-    detect_s = (time.time() - t0) / ITERS             # per L-clip video
+    detect_s = n_batches * chained_timer(
+        lambda p: detect(variables, rgb, p, pmask)["tubes"],
+        props, iters=ITERS * n_batches,
+        readback=lambda p: float(jnp.sum(p)))         # per L-clip video
 
     # ---- linking phase at each bucketed length ----
     _, pmask1 = STEPDetector.initial_proposals(cfg, 1)
@@ -116,14 +115,15 @@ def main():
         res = link(tubes, scores, prop_mask, clip_mask)
         _ = float(jnp.sum(res["tube_scores"]))
         compile_s = time.time() - t0
-        s = scores
-        t0 = time.time()
-        for _ in range(ITERS):
+
+        def step(s):
             res = link(tubes, s, prop_mask, clip_mask)
             # data-dependent chain: perturb scores by the link output
-            s = s * (1.0 + jnp.mean(res["tube_scores"]) * 1e-3)
-        _ = float(jnp.sum(res["tube_scores"]))
-        return (time.time() - t0) / ITERS, compile_s
+            return s * (1.0 + jnp.mean(res["tube_scores"]) * 1e-3)
+
+        return (chained_timer(step, scores, iters=ITERS,
+                              readback=lambda s: float(jnp.sum(s))),
+                compile_s)
 
     # Buckets run in the order GIVEN, repeats allowed: the r4 queue run
     # measured the first bucket (L=64) 3.7x slower than the second

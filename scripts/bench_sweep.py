@@ -104,6 +104,38 @@ def main():
         if "--fuse3-only" in sys.argv:
             return
 
+    if "--vmem-pair" in sys.argv:
+        # Interleaved confirmation A/B of two scoped-VMEM arms (A,B,A,B in
+        # ONE process): the fine sweep's 90112 KiB point (528.4 clips/s,
+        # +2.1% over the shipped 65536) sits between two cliff arms
+        # (73728 → 138.8, 81920 → 355.1), so a single measurement is not
+        # enough to re-ship the default on.
+        pair = sys.argv[sys.argv.index("--vmem-pair") + 1]
+        a, b = (int(x) for x in pair.split(","))
+        for kib in (a, b, a, b):
+            run(f"vmem_limit={kib}KiB", cfg, variables, 128, device,
+                compiler_options={"xla_tpu_scoped_vmem_limit_kib": str(kib)})
+        return
+
+    if "--fine-vmem" in sys.argv:
+        # The r4 coarse sweep measured 32768 → +11%, 65536 → +13.3%,
+        # 98304 → −3.3x at B=128: the response is non-monotone with a
+        # cliff somewhere in (64 MiB, 96 MiB]. Sample the interior (with
+        # the shipped 65536 re-run first as the in-context control) to
+        # see whether the optimum sits above 64 MiB, and give the flag
+        # one arm at B=256 (which tied B=128 under compiler defaults).
+        for kib in (65536, 73728, 81920, 90112):
+            try:
+                run(f"vmem_limit={kib}KiB", cfg, variables, 128, device,
+                    compiler_options={
+                        "xla_tpu_scoped_vmem_limit_kib": str(kib)})
+            except Exception as e:  # noqa: BLE001
+                print(f"vmem_limit={kib}KiB rejected: "
+                      f"{type(e).__name__}: {e}", flush=True)
+        run("vmem_limit=65536KiB B=256", cfg, variables, 256, device,
+            compiler_options={"xla_tpu_scoped_vmem_limit_kib": "65536"})
+        return
+
     if "--flags-only" not in sys.argv:
         for b in (96, 128, 160, 192, 256):
             run(f"optimized B={b}", cfg, variables, b, device)

@@ -1,6 +1,8 @@
 #!/bin/bash
 # Round-4 chip work queue (VERDICT r3 Next #2/#5/#7/#8): drains all
 # remaining single-chip runs serially after the train sweep finishes.
+# SUPERSEDED pattern: later queues (v2+) source scripts/_queue_lib.sh for
+# the booking helpers (deadline guard, rc-direct capture) — start there.
 # Every run appends to .sweeps/ so a dead session loses nothing.
 # The relay serializes the chip — NOTHING else may use the TPU meanwhile.
 set -u

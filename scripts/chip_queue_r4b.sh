@@ -21,51 +21,14 @@ RES=.sweeps/r4_results.jsonl
 DEADLINE=${DEADLINE:-1787125300}
 WAIT_PID=${WAIT_PID:-0}
 
-left() { echo $(( DEADLINE - $(date +%s) )); }
-
-record() {  # record <tag> <rc> ; embeds .sweeps/<tag>.out's last line
-  tag="$1"; rc="$2"
-  out=$(tail -1 .sweeps/"$tag".out 2>/dev/null)
-  python - "$tag" "$rc" "$out" >> "$RES" <<'PYEOF'
-import json, sys
-tag, rc, out = sys.argv[1], int(sys.argv[2]), sys.argv[3]
-try:
-    rec = {"run": tag, "out": json.loads(out)}
-    if rc != 0:
-        rec["error"] = f"rc{rc}"
-except Exception:
-    rec = {"run": tag, "raw": out} if rc == 0 else {"run": tag, "error": f"rc{rc}", "raw": out}
-print(json.dumps(rec))
-PYEOF
-}
-
-run() {  # run <tag> <timeout_s> <cmd...>
-  tag="$1"; to="$2"; shift 2
-  rem=$(left)
-  if [ "$rem" -lt 120 ]; then
-    echo "SKIP $tag: ${rem}s left" >&2
-    echo "{\"run\": \"$tag\", \"error\": \"skipped_deadline\"}" >> "$RES"
-    return
-  fi
-  [ "$to" -gt "$rem" ] && to=$rem
-  echo "--- $tag: timeout=$to $* ($(date +%H:%M:%S)) ---" >&2
-  timeout "$to" "$@" >.sweeps/"$tag".out 2>.sweeps/"$tag".stderr
-  rc=$?
-  record "$tag" "$rc"
-  if [ $rc -eq 0 ]; then
-    echo "$tag OK: $(tail -1 .sweeps/"$tag".out)" >&2
-  else
-    [ $rc -eq 124 ] && why=timeout || why=rc$rc
-    echo "$tag FAILED ($why)" >&2; tail -4 .sweeps/"$tag".stderr >&2
-  fi
-}
+. "$(dirname "$0")/_queue_lib.sh"  # left / record / run / sweep_arm / drain_pid
 
 echo "=== queue v2 start $(date +%H:%M:%S), deadline in $(left)s ===" >&2
 
 # 0. Drain the orphaned v1 job (its driver was killed; the child kept the
 #    chip), then book its result.
 if [ "$WAIT_PID" -gt 0 ]; then
-  while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 15; done
+  drain_pid "$WAIT_PID"
   record two_stream_r4 0
   echo "two_stream_r4 (orphan) done: $(tail -1 .sweeps/two_stream_r4.out)" >&2
 fi
@@ -77,25 +40,6 @@ run roi_adaptive_r4 1200 python scripts/train_eval_synth.py \
 
 # 2. Composed train-step arms (VERDICT #1: push MFU past 0.20). All on the
 #    shipped default (B=32, remat_steps=True, remat_policy=dots).
-sweep_arm() {  # sweep_arm <tag> <args...>
-  tag="$1"; shift
-  rem=$(left)
-  if [ "$rem" -lt 120 ]; then
-    echo "{\"arm\": \"$tag\", \"error\": \"skipped_deadline\"}" >> .sweeps/train_r4.jsonl
-    return
-  fi
-  to=1500; [ "$to" -gt "$rem" ] && to=$rem
-  echo "=== arm $tag : bench_train.py --skip-fit $* ($(date +%H:%M:%S)) ===" >&2
-  line=$(timeout "$to" python bench_train.py --skip-fit "$@" 2>.sweeps/last_stderr.log)
-  rc=$?
-  if [ $rc -eq 0 ] && [ -n "$line" ]; then
-    echo "{\"arm\": \"$tag\", \"result\": $line}" >> .sweeps/train_r4.jsonl
-    echo "$tag -> $line" >&2
-  else
-    echo "{\"arm\": \"$tag\", \"error\": $rc}" >> .sweeps/train_r4.jsonl
-    echo "$tag FAILED rc=$rc" >&2; tail -3 .sweeps/last_stderr.log >&2
-  fi
-}
 sweep_arm b32_dots_broadcast --set scan_broadcast_inputs=True
 sweep_arm b32_dots_mubf16    --set adam_mu_dtype=bfloat16
 sweep_arm b32_dots_all       --donate-batch \
@@ -106,10 +50,16 @@ sweep_arm b32_dots_all       --donate-batch \
 rem=$(left); to=1500; [ "$to" -gt "$rem" ] && to=$rem
 if [ "$rem" -ge 120 ]; then
   echo "--- BENCH_TRAIN_r04 ($(date +%H:%M:%S)) ---" >&2
-  timeout "$to" python bench_train.py --skip-fit 2>.sweeps/bench_train_full.stderr \
-    | tail -1 > /tmp/bench_train_r04.json
-  if [ -s /tmp/bench_train_r04.json ] && python -c "import json,sys; json.load(open('/tmp/bench_train_r04.json'))"; then
+  # rc from the command itself, not a pipe (tail would mask it — the same
+  # pattern 76370d1's queue fix removed)
+  timeout "$to" python bench_train.py --skip-fit \
+    >.sweeps/bench_train_full.out 2>.sweeps/bench_train_full.stderr
+  rc=$?
+  tail -1 .sweeps/bench_train_full.out > /tmp/bench_train_r04.json
+  if [ $rc -eq 0 ] && python -c "import json,sys; json.load(open('/tmp/bench_train_r04.json'))"; then
     cp /tmp/bench_train_r04.json BENCH_TRAIN_r04.json
+  else
+    echo "bench_train FAILED rc=$rc (artifact left untouched)" >&2
   fi
   echo "bench_train: $(cat BENCH_TRAIN_r04.json)" >&2
 fi

@@ -18,72 +18,12 @@ RES=.sweeps/r4_results.jsonl
 DEADLINE=${DEADLINE:-$(( $(date +%s) + 7200 ))}
 WAIT_PID=${WAIT_PID:-0}
 
-left() { echo $(( DEADLINE - $(date +%s) )); }
-
-record() {  # record <tag> <rc> ; embeds .sweeps/<tag>.out's last line
-  tag="$1"; rc="$2"
-  out=$(tail -1 .sweeps/"$tag".out 2>/dev/null)
-  python - "$tag" "$rc" "$out" >> "$RES" <<'PYEOF'
-import json, sys
-tag, rc, out = sys.argv[1], int(sys.argv[2]), sys.argv[3]
-try:
-    rec = {"run": tag, "out": json.loads(out)}
-    if rc != 0:
-        rec["error"] = f"rc{rc}"
-except Exception:
-    rec = {"run": tag, "raw": out} if rc == 0 else {"run": tag, "error": f"rc{rc}", "raw": out}
-print(json.dumps(rec))
-PYEOF
-}
-
-run() {  # run <tag> <timeout_s> <cmd...>
-  tag="$1"; to="$2"; shift 2
-  rem=$(left)
-  if [ "$rem" -lt 120 ]; then
-    echo "SKIP $tag: ${rem}s left" >&2
-    echo "{\"run\": \"$tag\", \"error\": \"skipped_deadline\"}" >> "$RES"
-    return
-  fi
-  [ "$to" -gt "$rem" ] && to=$rem
-  echo "--- $tag: timeout=$to $* ($(date +%H:%M:%S)) ---" >&2
-  timeout "$to" "$@" >.sweeps/"$tag".out 2>.sweeps/"$tag".stderr
-  rc=$?
-  record "$tag" "$rc"
-  if [ $rc -eq 0 ]; then
-    echo "$tag OK: $(tail -1 .sweeps/"$tag".out)" >&2
-  else
-    [ $rc -eq 124 ] && why=timeout || why=rc$rc
-    echo "$tag FAILED ($why)" >&2; tail -4 .sweeps/"$tag".stderr >&2
-  fi
-}
-
-sweep_arm() {  # sweep_arm <tag> <bench_train args...> -> .sweeps/train_r4.jsonl
-  tag="$1"; shift
-  rem=$(left)
-  if [ "$rem" -lt 120 ]; then
-    echo "{\"arm\": \"$tag\", \"error\": \"skipped_deadline\"}" >> .sweeps/train_r4.jsonl
-    return
-  fi
-  to=1500; [ "$to" -gt "$rem" ] && to=$rem
-  echo "=== arm $tag : bench_train.py --skip-fit $* ($(date +%H:%M:%S)) ===" >&2
-  line=$(timeout "$to" python bench_train.py --skip-fit "$@" 2>.sweeps/last_stderr.log)
-  rc=$?
-  if [ $rc -eq 0 ] && [ -n "$line" ]; then
-    echo "{\"arm\": \"$tag\", \"result\": $line}" >> .sweeps/train_r4.jsonl
-    echo "$tag -> $line" >&2
-  else
-    echo "{\"arm\": \"$tag\", \"error\": $rc}" >> .sweeps/train_r4.jsonl
-    echo "$tag FAILED rc=$rc" >&2; tail -3 .sweeps/last_stderr.log >&2
-  fi
-}
+. "$(dirname "$0")/_queue_lib.sh"  # left / record / run / sweep_arm / drain_pid
 
 echo "=== queue v3 start $(date +%H:%M:%S), deadline in $(left)s ===" >&2
 
 # 0. Wait for the in-flight bench.py verify run (the relay serializes).
-if [ "$WAIT_PID" -gt 0 ]; then
-  while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 15; done
-  echo "wait pid $WAIT_PID drained ($(date +%H:%M:%S))" >&2
-fi
+drain_pid "$WAIT_PID"
 
 # 1. Train-step scoped-VMEM A/B (default arm baseline: 88.65 clips/s,
 #    BENCH_TRAIN_r04.json).

@@ -17,54 +17,14 @@ RES=.sweeps/r4_results.jsonl
 DEADLINE=${DEADLINE:-$(( $(date +%s) + 18000 ))}
 WAIT_PID=${WAIT_PID:-0}
 
-left() { echo $(( DEADLINE - $(date +%s) )); }
-
-record() {  # record <tag> <rc> ; embeds .sweeps/<tag>.out's last line
-  tag="$1"; rc="$2"
-  out=$(tail -1 .sweeps/"$tag".out 2>/dev/null)
-  python - "$tag" "$rc" "$out" >> "$RES" <<'PYEOF'
-import json, sys
-tag, rc, out = sys.argv[1], int(sys.argv[2]), sys.argv[3]
-try:
-    rec = {"run": tag, "out": json.loads(out)}
-    if rc != 0:
-        rec["error"] = f"rc{rc}"
-except Exception:
-    rec = {"run": tag, "raw": out} if rc == 0 else {"run": tag, "error": f"rc{rc}", "raw": out}
-print(json.dumps(rec))
-PYEOF
-}
-
-run() {  # run <tag> <timeout_s> <cmd...>
-  tag="$1"; to="$2"; shift 2
-  rem=$(left)
-  if [ "$rem" -lt 120 ]; then
-    echo "SKIP $tag: ${rem}s left" >&2
-    echo "{\"run\": \"$tag\", \"error\": \"skipped_deadline\"}" >> "$RES"
-    return
-  fi
-  [ "$to" -gt "$rem" ] && to=$rem
-  echo "--- $tag: timeout=$to $* ($(date +%H:%M:%S)) ---" >&2
-  timeout "$to" "$@" >.sweeps/"$tag".out 2>.sweeps/"$tag".stderr
-  rc=$?
-  record "$tag" "$rc"
-  if [ $rc -eq 0 ]; then
-    echo "$tag OK: $(tail -1 .sweeps/"$tag".out)" >&2
-  else
-    [ $rc -eq 124 ] && why=timeout || why=rc$rc
-    echo "$tag FAILED ($why)" >&2; tail -4 .sweeps/"$tag".stderr >&2
-  fi
-}
+. "$(dirname "$0")/_queue_lib.sh"  # left / record / run / drain_pid
 
 echo "=== queue v4 start $(date +%H:%M:%S), deadline in $(left)s ===" >&2
 
 # 0. Drain the in-flight bench.py latency A/B (its own process owns the
 #    chip; the relay serializes clients and the profiler HANGS if another
 #    TPU process is live).
-if [ "$WAIT_PID" -gt 0 ]; then
-  while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 15; done
-  echo "wait pid $WAIT_PID drained ($(date +%H:%M:%S))" >&2
-fi
+drain_pid "$WAIT_PID"
 
 # 1. Fresh train trace at the shipped config (exclusive chip use).
 run train_trace_b32 2400 python scripts/profile_train.py --batch 32 --top 40

@@ -22,6 +22,7 @@ structure (standard, or BN-folded + fused via models/optimize.py).
 import argparse
 import os
 import pickle
+import sys
 
 
 def parse_args():
@@ -151,9 +152,13 @@ def main():
         warm = jnp.asarray(_wire(np.zeros(
             (B, cfg.total_frames, cfg.image_size, cfg.image_size, 3),
             np.float32)))
-        run = compile_with_serving_options(
+        run, vmem_applied = compile_with_serving_options(
             run, variables, warm, props, pmask,
             vmem_limit_kib=args.vmem_limit_kib)
+        if vmem_applied is False:
+            print(f"warning: --vmem-limit-kib {args.vmem_limit_kib} was "
+                  "rejected by the backend; serving the default-compiled "
+                  "program", file=sys.stderr, flush=True)
     detections = []
     # Decode the NEXT video's JPEGs on a worker thread while the TPU serves
     # the current one (same overlap pattern as evaluate.py's eval loop —

@@ -57,14 +57,23 @@ def compile_with_serving_options(jitted, *args,
                                  vmem_limit_kib: Optional[int] = None):
     """AOT-compile `jitted` for `args` with the serving options when on TPU.
 
-    Returns the plain jitted callable unchanged when no options apply, so
-    CPU callers keep lazy per-shape specialization.
+    Returns ``(fn, applied)``:
+
+    - ``(compiled, True)`` — the optioned program.
+    - ``(jitted, None)`` — no options apply here (CPU/tests); the plain
+      jitted callable keeps lazy per-shape specialization.
+    - ``(jitted, False)`` — the backend REJECTED the options and the
+      default-compiled program is running instead. Benchmark callers must
+      record this (null/annotate the option fields in their JSON artifact):
+      a silently-substituted default program would book a compiler-option
+      A/B arm that never ran — exactly the measurement corruption the
+      chained-timing rules exist to prevent.
     """
     opts = serving_compiler_options(vmem_limit_kib=vmem_limit_kib)
     if not opts:
-        return jitted
+        return jitted, None
     try:
-        return jitted.lower(*args).compile(compiler_options=opts)
+        return jitted.lower(*args).compile(compiler_options=opts), True
     except Exception as e:  # noqa: BLE001 — fail open: a rejected option
         # must never take down the caller (bench.py is a driver artifact);
         # the un-optioned program is always valid.
@@ -72,4 +81,4 @@ def compile_with_serving_options(jitted, *args,
 
         print(f"serving compiler options rejected ({type(e).__name__}: {e});"
               " falling back to default compile", file=sys.stderr, flush=True)
-        return jitted
+        return jitted, False

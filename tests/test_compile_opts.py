@@ -18,8 +18,9 @@ def test_options_none_on_cpu():
 def test_compile_passthrough_on_cpu():
     f = jax.jit(lambda x: x * 2)
     x = jnp.ones((4,))
-    g = compile_with_serving_options(f, x)
+    g, applied = compile_with_serving_options(f, x)
     assert g is f  # unchanged: stays lazily-specializing on CPU
+    assert applied is None  # not applicable here — distinct from rejected
     assert jnp.allclose(g(x), 2.0)
 
 
