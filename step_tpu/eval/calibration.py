@@ -98,9 +98,22 @@ def fit_calibration(
     return {"a": a, "b": b}
 
 
+def calibrate_scores_array(scores: np.ndarray, a, b) -> np.ndarray:
+    """Vectorized Platt transform — the ONE owner of the formula.
+
+    `a`/`b` broadcast against the trailing class axis of `scores` (e.g.
+    [L, P, C] tube-score surfaces in evaluate.collect_video_tubes, or the
+    scalar per-class values of `calibrate_score`). The ±30 clip bound is
+    part of the transform: both surfaces must saturate identically or the
+    linking edge weights and the detection scores drift apart.
+    """
+    z = np.clip(scores * a + b, -30.0, 30.0)
+    return 1.0 / (1.0 + np.exp(-z))
+
+
 def calibrate_score(score, cls, calib) -> float:
-    z = np.clip(calib["a"][cls] * score + calib["b"][cls], -30.0, 30.0)
-    return float(1.0 / (1.0 + np.exp(-z)))
+    return float(calibrate_scores_array(score, calib["a"][cls],
+                                        calib["b"][cls]))
 
 
 def apply_calibration(detections: Sequence[Tuple], calib) -> list:

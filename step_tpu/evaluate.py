@@ -85,11 +85,12 @@ def collect_detections(
         detect = make_parallel_detect_fn(cfg, mesh, model)
         n_shards = int(np.prod(mesh.devices.shape))
     else:
+        # the memoized factory, NOT an inline @jax.jit closure: a fresh
+        # function object per call would re-trace the S-step scan program
+        # on every per-epoch eval (jit's cache keys on function identity)
+        from step_tpu.inference import make_detect_fn
 
-        @jax.jit
-        def detect(variables, rgb, proposals, prop_mask, flow=None):
-            return detect_clip(variables, rgb, proposals, prop_mask, cfg,
-                               model, flow)
+        detect = make_detect_fn(cfg, model)
 
     det_list, det_central, owned_fkeys = [], [], set()
     fpc = cfg.frames_per_chunk
@@ -285,13 +286,18 @@ def collect_video_tubes(
     _, pmask1 = STEPDetector.initial_proposals(cfg, 1)
 
     def _wire(batch):
-        # uint8 wire format (cfg.uint8_transfer): 4x less relay/PCIe
-        # bandwidth; device_preprocess normalizes on device. Shares the
-        # loader's quantizer so both eval surfaces see identical pixels.
-        if cfg.uint8_transfer and batch.dtype != np.uint8 and batch.shape[-1] == 3:
-            from step_tpu.data.pipeline import rgb_to_uint8_wire
+        # Quantized wire format (cfg.uint8_transfer): uint8 rgb / int8 flow,
+        # 4x less relay/PCIe bandwidth; device_preprocess dequantizes on
+        # device. Shares the loader's quantizers so both eval surfaces see
+        # identical pixels — flow included (it previously shipped f32 here,
+        # which both paid 4x the bandwidth AND handed the detect program
+        # un-quantized flow pixels the loader path never produces).
+        if cfg.uint8_transfer and batch.dtype == np.float32:
+            from step_tpu.data.pipeline import (flow_to_int8_wire,
+                                                rgb_to_uint8_wire)
 
-            batch = rgb_to_uint8_wire(batch)
+            batch = (rgb_to_uint8_wire(batch) if batch.shape[-1] == 3
+                     else flow_to_int8_wire(batch))
         return jnp.asarray(batch)
 
     from concurrent.futures import ThreadPoolExecutor
@@ -328,10 +334,10 @@ def collect_video_tubes(
                     if variables_flow is not None:
                         det = detect_lf(variables, variables_flow,
                                         _wire(batch), props, pmask,
-                                        jnp.asarray(fbatch))
+                                        _wire(fbatch))
                     else:
                         det = detect(variables, _wire(batch), props, pmask,
-                                     jnp.asarray(fbatch))
+                                     _wire(fbatch))
                 else:
                     det = detect(variables, _wire(batch), props, pmask)
                 n = len(chunk)
@@ -340,8 +346,9 @@ def collect_video_tubes(
             tubes = np.concatenate(tubes_np, axis=0)      # [L, P, T, 4]
             scores = np.concatenate(scores_np, axis=0)    # [L, P, C]
             if calibration is not None:
-                z = np.clip(scores * calib_a + calib_b, -30.0, 30.0)
-                scores = 1.0 / (1.0 + np.exp(-z))
+                from step_tpu.eval.calibration import calibrate_scores_array
+
+                scores = calibrate_scores_array(scores, calib_a, calib_b)
 
             # bucket the clip axis to the next power of two
             Lb = 1
@@ -652,10 +659,11 @@ def evaluate_ava(
         detect = make_parallel_detect_fn(cfg, mesh, model)
         n_shards = int(np.prod(mesh.devices.shape))
     else:
+        # memoized factory (see collect_detections): an inline @jax.jit
+        # closure here would re-trace the scan program every per-epoch eval
+        from step_tpu.inference import make_detect_fn
 
-        @jax.jit
-        def detect(variables, rgb, proposals, prop_mask):
-            return detect_clip(variables, rgb, proposals, prop_mask, cfg, model)
+        detect = make_detect_fn(cfg, model)
 
     kf = cfg.total_frames // 2
     detections = []

@@ -337,9 +337,15 @@ def detect_video_stream(
         feat = jnp.concatenate(
             [chunk_feat(center + d) for d in range(-half, half + 1)], axis=0
         )                                   # [K, tc, h, w, C]
-        results.append(
-            refine_windows(variables, feat, centers1, proposals, prop_mask)
-        )
+        out = refine_windows(variables, feat, centers1, proposals, prop_mask)
+        # Cheap per-clip VALUE readback (same guard as the batched form):
+        # many heavy dispatches queued with no readback stall pathologically
+        # on the relay transport (CLAUDE.md round-3 failure mode, 52-106
+        # s/step measured). ~ms against a heavy refine program — and this
+        # is the live/online form, where the caller consumes each clip's
+        # result before the next arrives anyway.
+        _ = float(jnp.sum(out["tube_scores"][..., :1, :1]))
+        results.append(out)
     return results
 
 
@@ -429,25 +435,47 @@ def eval_needs_flow(cfg: StepConfig, variables_flow=None) -> bool:
 
 def make_late_fusion_detect_fn(cfg: StepConfig):
     """jit-wrapped `detect_clip_late_fusion` closed over the config —
-    the one fusion program both eval collectors share."""
+    the one fusion program both eval collectors share.
+
+    Memoized on cfg (same hazard _STREAM_FN_CACHE names: jit's trace cache
+    keys on function identity, so a fresh closure per call would re-trace
+    the full scan program on every per-epoch eval)."""
+    if cfg in _LF_FN_CACHE:
+        return _LF_FN_CACHE[cfg]
 
     @jax.jit
     def _detect_lf(v_rgb, v_flow, rgb, proposals, prop_mask, flow):
         return detect_clip_late_fusion(v_rgb, v_flow, rgb, flow,
                                        proposals, prop_mask, cfg)
 
+    _LF_FN_CACHE[cfg] = _detect_lf
     return _detect_lf
 
 
+_LF_FN_CACHE: dict = {}
+
+
 def make_detect_fn(cfg: StepConfig, model: Optional[STEPDetector] = None):
-    """jit-wrapped `detect_clip` closed over the config."""
+    """jit-wrapped `detect_clip` closed over the config.
+
+    Memoized on (cfg, model) — flax Modules are frozen dataclasses, equal
+    by fields — so repeated factory calls (per-epoch evals) return the SAME
+    function object and jit's identity-keyed trace cache rehits instead of
+    re-tracing the S-step scan program every epoch."""
     model = model or STEPDetector(cfg)
+    key = (cfg, model)
+    if key in _DETECT_FN_CACHE:
+        return _DETECT_FN_CACHE[key]
 
     @jax.jit
     def _detect(variables, rgb, proposals, prop_mask, flow=None):
         return detect_clip(variables, rgb, proposals, prop_mask, cfg, model, flow)
 
+    _DETECT_FN_CACHE[key] = _detect
     return _detect
+
+
+_DETECT_FN_CACHE: dict = {}
 
 
 def make_parallel_detect_fn(cfg: StepConfig, mesh,
@@ -532,7 +560,9 @@ def detect_video(
 
     Returns dict with per-clip detections plus (K = cfg.link_tubes_per_class):
       link_paths       [C, K, L] int32 — tube index per clip
-      link_scores      [C, K]          — Viterbi path value (k-ranking)
+      link_scores      [C, K]          — path objective over the trimmed
+        run (scores + weighted transition IoUs; NEG-free k-ranking even
+        when a clip's nodes were exhausted — tubes/linking.py)
       link_trim        [C, K, L]       — 1 where the video tube is active
       link_tube_scores [C, K]          — mean per-clip score over the run
     """

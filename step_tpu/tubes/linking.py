@@ -190,7 +190,13 @@ def link_tubes_k(
 
     Returns dict:
       paths  [K, L] int32 — tube index per clip
-      values [K]          — Viterbi path value (ranking across k)
+      values [K]          — the path objective over the EMITTED (trimmed)
+        run: sum of chosen scores + weighted transition IoUs between
+        consecutive active clips. NOT the raw Viterbi accumulator, which is
+        NEG-contaminated (~-1e9) whenever any clip's valid nodes were
+        exhausted by earlier paths/suppression — a state the trim machinery
+        recovers from but a raw-value ranking would falsely discard (e.g. a
+        real second actor whose proposals collapsed in one clip).
       trim   [K, L] float — 1 where the tube is active
       tube_scores [K]     — mean per-clip score over the active run
     """
@@ -245,7 +251,20 @@ def link_tubes_k(
     trim = trim * alive[:, None]
     n_active = jnp.maximum(jnp.sum(trim, axis=1), 1.0)
     tube_scores = jnp.sum(chosen * trim, axis=1) / n_active
-    return {"paths": paths, "values": values, "trim": trim,
+
+    # Exposed path value = the Viterbi objective restricted to the emitted
+    # run (see docstring). `values` from the scan is the raw accumulator
+    # and carries NEG through exhausted clips — keep it internal.
+    del values
+
+    def _trimmed_value(path, trim_row, chosen_row):
+        tsel = trans[jnp.arange(L - 1), path[:-1], path[1:]]   # [L-1]
+        pair = trim_row[:-1] * trim_row[1:]
+        return (jnp.sum(chosen_row * trim_row)
+                + link_iou_weight * jnp.sum(tsel * pair))
+
+    values_out = jax.vmap(_trimmed_value)(paths, trim, chosen)
+    return {"paths": paths, "values": values_out, "trim": trim,
             "tube_scores": tube_scores}
 
 

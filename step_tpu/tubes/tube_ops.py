@@ -43,8 +43,14 @@ def tube_iou(
     if frame_mask is None:
         return jnp.mean(per_frame, axis=-1)
     w = jnp.asarray(frame_mask, per_frame.dtype)
+    if w.ndim > 1:
+        # Batched mask [..., T]: insert the P and G axes so it broadcasts
+        # against per_frame [..., P, G, T]. (The old form multiplied the
+        # raw [..., T] in, which misaligned the batch dims against P/G —
+        # a shape error, or a silently wrong mean when sizes coincided.)
+        w = w[..., None, None, :]
     num = jnp.sum(per_frame * w, axis=-1)
-    den = jnp.maximum(jnp.sum(w, axis=-1) if w.ndim > 1 else jnp.sum(w), EPS)
+    den = jnp.maximum(jnp.sum(w, axis=-1), EPS)
     return num / den
 
 

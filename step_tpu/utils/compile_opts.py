@@ -1,21 +1,27 @@
 """Measured per-program XLA compiler options for serving.
 
-The round-4 serving sweep (`scripts/bench_sweep.py`, VALIDATION.md) A/B'd
-``xla_tpu_scoped_vmem_limit_kib`` on the optimized B=128 detect program:
+The round-4 serving sweeps (`scripts/bench_sweep.py`, VALIDATION.md) A/B'd
+``xla_tpu_scoped_vmem_limit_kib`` on the optimized B=128 detect program —
+coarse pass, then the fine interior sweep once 65536 won:
 
     default        456.8 clips/s
     32768 KiB      507.8 clips/s
-    65536 KiB      517.7 clips/s   <- +13.3%, shipped here
+    65536 KiB      517.7 clips/s   (518.0 / 518.0 in the interleaved pair)
+    73728 KiB      138.8 clips/s   <- same cliff as 98304
+    81920 KiB      355.1 clips/s
+    90112 KiB      520.7-528.9 clips/s  <- shipped (interleaved pair run,
+                                           wins every measurement)
     98304 KiB      138.8 clips/s   <- catastrophic (3.3x regression)
 
-Scoped VMEM bounds how much VMEM the fusion emitter may assume per fusion;
-64 MiB (half of v5e's 128 MiB) admits deeper fusions on the big NDHWC
-conv+pool blocks, while 96 MiB tips some fusion past the point where its
-working set thrashes. Because the 98304 arm shows the flag CAN regress
-badly, it is applied only where measured: the large-batch optimized
-serving program (bench.py) and, since its own in-context A/B (r4:
-chained mean 6.11 vs 6.45 ms, −5.3%), the B=1 latency program too.
-Unmeasured program/batch combinations stay on compiler defaults.
+The response is spiky, not monotone: the fusion emitter's choices flip
+discretely with the assumed per-fusion VMEM budget, and two interior
+points sit on a 3.3x cliff. 90112 KiB also won the B=1 latency program's
+in-context A/B (chained 6.11 vs 6.39 ms at 65536, −4.4%; p50 31.9 vs
+41.2 ms through the relay). Because adjacent values CAN regress 3.3x, the
+flag is applied only where measured: the optimized serving program at
+B=128 and B=1 (bench.py, serve.py). Unmeasured program/batch combinations
+stay on compiler defaults — bench_train measured it as noise-or-worse on
+the train step, so training never sets it.
 
 Options are passed per-compile via ``jax.jit(f).lower(*args).compile(
 compiler_options=...)`` — they survive the relay's remote-compile path,
@@ -26,7 +32,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-SERVING_VMEM_LIMIT_KIB = 65536
+SERVING_VMEM_LIMIT_KIB = 90112
 
 
 def serving_compiler_options(device=None,

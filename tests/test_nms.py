@@ -180,6 +180,13 @@ def test_link_tubes_k_exhausted_clip_trims_not_kills():
     assert ts[1] > 0.0                        # path 2 survives
     assert trim[1, 1] == 0.0                  # exhausted clip trimmed out
     assert trim[1].sum() >= 1.0               # at least one fresh clip kept
+    # `values` is the trimmed-run objective, NOT the raw Viterbi
+    # accumulator: the exhausted clip must not leak NEG (~-1e9) into the
+    # exposed k-ranking (detect_video's link_scores) — the second actor's
+    # value must stay positive and below the full-span first path's.
+    vals = np.asarray(out["values"])
+    assert vals[1] > 0.0
+    assert vals[0] > vals[1]
 
 
 def test_link_tubes_prefers_high_scores():

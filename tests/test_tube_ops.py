@@ -40,6 +40,27 @@ def test_tube_iou_frame_mask_excludes_frames():
     np.testing.assert_allclose(iou_masked, [[1.0]], atol=1e-6)
 
 
+def test_tube_iou_batched_frame_mask():
+    """A batched [B, T] frame_mask must broadcast against the [B, P, G]
+    result — per-sample it must equal the per-[T]-mask call (the old form
+    misaligned the batch dims against P/G)."""
+    rng = np.random.RandomState(0)
+    B, P, G, T = 3, 4, 2, 6
+    a = rng.rand(B, P, T, 4).astype(np.float32) * 50
+    a[..., 2:] += a[..., :2] + 5
+    b = rng.rand(B, G, T, 4).astype(np.float32) * 50
+    b[..., 2:] += b[..., :2] + 5
+    masks = (rng.rand(B, T) > 0.4).astype(np.float32)
+    masks[0] = 1.0                       # one all-ones row as a control
+    batched = np.asarray(tube_iou(jnp.asarray(a), jnp.asarray(b),
+                                  jnp.asarray(masks)))
+    assert batched.shape == (B, P, G)
+    for i in range(B):
+        per = np.asarray(tube_iou(jnp.asarray(a[i]), jnp.asarray(b[i]),
+                                  jnp.asarray(masks[i])))
+        np.testing.assert_allclose(batched[i], per, atol=1e-6)
+
+
 def test_valid_tube_mask():
     T = 4
     good = _static_tube([0, 0, 10, 10], T)
