@@ -72,9 +72,11 @@ def main():
                          "compiled with xla_tpu_scoped_vmem_limit_kib=<N> "
                          "(0 = compiler defaults), in the same warmed "
                          "process as the shipped program. The shipped B=1 "
-                         "program uses 65536 KiB — measured in-context on "
-                         "this exact program/batch: chained mean 6.11 vs "
-                         "6.45 ms default (r4, .sweeps/bench_latvmem_r4.out)."
+                         "program uses compile_opts.SERVING_VMEM_LIMIT_KIB "
+                         "(90112) — measured in-context on this exact "
+                         "program/batch: chained mean 6.11 vs 6.39 ms at "
+                         "65536 vs 6.45 default (r4, .sweeps/"
+                         "bench_latvmem{,90}_r4.out)."
                          " B=1 latency is only trustworthy inside this "
                          "warmed process (CLAUDE.md), hence an arm here "
                          "rather than in scripts/bench_sweep.py.")
@@ -235,11 +237,13 @@ def main():
                 float(np.mean(lats_ms) - chained * 1000.0))
 
     # Headline p50/p90 come from the SHIPPED latency program: scoped VMEM
-    # 65536 KiB, measured in-context on this exact program/batch (r4 A/B:
-    # chained mean 6.11 vs 6.45 ms default, p50 33.9 vs 38.8 ms — the
-    # per-program rule is satisfied). The --latency-vmem-kib arm measures a
-    # second compile (0 = compiler defaults) in the SAME warmed process
-    # (CLAUDE.md: only in-context B=1 numbers are trustworthy).
+    # compile_opts.SERVING_VMEM_LIMIT_KIB (90112), measured in-context on
+    # this exact program/batch (r4 A/Bs: chained mean 6.11 ms at 90112 vs
+    # 6.39 at 65536 vs 6.45-6.48 default; p50 31.9 at 90112 vs 41.2 —
+    # .sweeps/bench_latvmem{,90}_r4.out; the per-program rule is
+    # satisfied). The --latency-vmem-kib arm measures a second compile
+    # (0 = compiler defaults) in the SAME warmed process (CLAUDE.md: only
+    # in-context B=1 numbers are trustworthy).
     detect1, lat_opts_applied = compile_with_serving_options(
         detect, variables, rgb1, props1, pmask1)
     p50_ms, p90_ms, lat_chained_ms, readback_overhead_ms = _measure_latency(

@@ -140,7 +140,13 @@ def main():
     _phase("compiling train step")
     t0 = time.time()
     vmem_applied = None
-    if args.vmem_limit_kib:
+    # `is not None`: 0 is an explicit compiler-defaults arm (bench.py's
+    # documented --latency-vmem-kib semantics), not an absent flag — a
+    # truthiness test silently dropped it (ADVICE r4). 0 compiles nothing
+    # extra here because the default program IS the compiler-defaults arm.
+    if args.vmem_limit_kib == 0:
+        vmem_applied = True     # the default program IS the 0 (defaults) arm
+    elif args.vmem_limit_kib is not None:
         # Per-program compiler option (survives the relay's remote-compile
         # path, unlike process-level XLA_FLAGS). The shared helper gates on
         # TPU and fails open if the backend rejects the flag, so a bad arm

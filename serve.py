@@ -41,10 +41,22 @@ def parse_args():
                         "the checkpoint to match")
     p.add_argument("--vmem-limit-kib", type=int, default=None,
                    help="compile the program with "
-                        "xla_tpu_scoped_vmem_limit_kib=<N>. 65536 measured "
-                        "+13.3%% on the optimized B=128 program (VALIDATION"
-                        ".md round-4 serving sweep) but 98304 regressed "
-                        "3.3x — opt in per measured batch/program only")
+                        "xla_tpu_scoped_vmem_limit_kib=<N> (0 = compiler "
+                        "defaults, i.e. skip the measured serving option). "
+                        "The shipped/measured value is compile_opts."
+                        "SERVING_VMEM_LIMIT_KIB (90112: +13.3%% on the "
+                        "optimized B=128 program, r4 sweep) but 98304 "
+                        "regressed 3.3x — opt in per measured batch/"
+                        "program only (see utils/compile_opts.py)")
+    p.add_argument("--fast-tiling", action="store_true",
+                   help="detect on NON-overlapping total_frames windows "
+                        "(3x fewer clips) instead of the eval ownership "
+                        "protocol (one-chunk-stride sliding windows, "
+                        "central-chunk frame ownership — matches test.py "
+                        "detections exactly). 2/3 of frames are then "
+                        "scored from extension-chunk positions; measured "
+                        "frame-mAP cost on the synthetic oracle is in "
+                        "VALIDATION.md (round 5)")
     p.add_argument("--tiny", action="store_true")
     from step_tpu.utils.cli import add_common_args
 
@@ -59,10 +71,22 @@ def _video_dirs(root):
     return subdirs if subdirs else [root]
 
 
-def _load_clips(frames_dir, cfg):
-    """Frame JPEGs → [L, T, S, S, 3] float clips (pad tail by repetition) +
-    per-clip frame index lists (-1 marks padded positions — drop, don't
-    emit duplicate detections for the final frame)."""
+def _load_clips(frames_dir, cfg, fast_tiling=False):
+    """Frame JPEGs → (clips [L, T, S, S, 3] float, idx [L, T] frame indices,
+    owned [F] bool or None).
+
+    Default = the EVAL ownership protocol (`evaluate.collect_detections` /
+    `UCFDataset.clip_frame_indices`): windows of T = total_frames slide by
+    one chunk (frames_per_chunk); indices edge-clamp at video boundaries;
+    `owned[f]` marks frames covered by some clip's CENTRAL chunk — the
+    serving loop keeps a detection only from its owning clip's central
+    positions (plus extension-frame detections for unowned boundary
+    frames), so serve.py detections match test.py's on the same frames.
+
+    `fast_tiling=True` = non-overlapping T-frame windows, tail padded by
+    repetition (idx = -1 marks padding), every position emitted; 3x fewer
+    clips but 2/3 of frames come from extension-chunk positions (owned is
+    None — no ownership filter applies)."""
     import cv2
     import numpy as np
 
@@ -77,13 +101,76 @@ def _load_clips(frames_dir, cfg):
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
         frames.append(cv2.resize(img, (S, S)))
     F = len(frames)
-    L = max(1, -(-F // T))
-    pad = L * T - F
-    frames = np.stack(frames + [frames[-1]] * pad)
-    clips = frames.reshape(L, T, S, S, 3)
-    idx = np.arange(L * T).reshape(L, T)
-    idx[idx >= F] = -1
-    return clips, idx
+    if fast_tiling:
+        L = max(1, -(-F // T))
+        pad = L * T - F
+        frames = np.stack(frames + [frames[-1]] * pad)
+        clips = frames.reshape(L, T, S, S, 3)
+        idx = np.arange(L * T).reshape(L, T)
+        idx[idx >= F] = -1
+        return clips, idx, None
+    if cfg.temporal_stride != 1:
+        # same guard as collect_detections: the ownership protocol assumes
+        # per-frame sampling with one-chunk clip tiling
+        raise SystemExit("the serve ownership protocol requires "
+                         f"temporal_stride == 1 (got {cfg.temporal_stride});"
+                         " use --fast-tiling for strided programs")
+    fpc = cfg.frames_per_chunk
+    frames = np.stack(frames)
+    starts = np.arange(0, max(F - fpc + 1, 1), fpc)
+    offsets = np.arange(T) - T // 2
+    idx = np.clip(starts[:, None] + fpc // 2 + offsets[None, :], 0, F - 1)
+    clips = frames[idx]
+    owned = np.zeros(F, bool)
+    for s in starts:
+        owned[s : s + fpc] = True   # geometric central-chunk ownership
+    return clips, idx, owned
+
+
+def serve_video(run, variables, cfg, clips, idx, owned, props, pmask, B,
+                video, wire):
+    """Detect one video's clips → [((video, frame), cls, score, box)].
+
+    `run(variables, rgb, props, pmask)` is the detect program (exported or
+    jitted); `clips/idx/owned` come from `_load_clips`; `wire` quantizes a
+    float batch to the program's wire format. The ownership filter
+    (`owned is not None`) keeps each frame's detections from the clip whose
+    central chunk owns it — extension-position detections survive only for
+    frames no clip owns (clamped video tails) — matching
+    `evaluate.collect_detections`. Dedupe is the CALLER's job (serve.main
+    applies `dedupe_frame_detections` across videos, like test.py's dump).
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    T, fpc = cfg.total_frames, cfg.frames_per_chunk
+    tc0 = (T - fpc) // 2
+    detections = []
+    L = clips.shape[0]
+    for s in range(0, L, B):
+        chunk = clips[s : s + B]
+        n = chunk.shape[0]
+        if n < B:  # pad the final batch; padded rows dropped below
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], B - n, axis=0)])
+        out = run(variables, jnp.asarray(wire(chunk)), props, pmask)
+        boxes = np.asarray(out["frame_boxes"])[:n]
+        scores = np.asarray(out["frame_scores"])[:n]
+        mask = np.asarray(out["frame_mask"])[:n]
+        for b in range(n):
+            keep = np.argwhere(
+                (mask[b] > 0) & (scores[b] > cfg.score_thresh))
+            for t, c, k in keep:
+                fi = int(idx[s + b, t])
+                if fi < 0:  # repeated-tail padding, not a real frame
+                    continue
+                if owned is not None:
+                    if not (tc0 <= t < tc0 + fpc) and owned[fi]:
+                        continue
+                detections.append((
+                    (video, fi + 1), int(c),
+                    float(scores[b, t, c, k]), boxes[b, t, c, k]))
+    return detections
 
 
 def main():
@@ -125,9 +212,25 @@ def main():
             cfg, args.overrides, variables)
 
     with open(args.program, "rb") as f:
-        run = load_detect_fn(f.read())
+        blob = f.read()
+    run = load_detect_fn(blob)
     print(f"loaded program {args.program} "
           f"({os.path.getsize(args.program)} bytes)", flush=True)
+
+    # The program's input spec is frozen at export time; a wire-format
+    # mismatch (pre-r3 float32-spec artifacts vs today's quantized default)
+    # would otherwise surface as an opaque dtype error at the first batch.
+    from step_tpu.utils.export import detect_fn_input_specs
+
+    rgb_spec = detect_fn_input_specs(blob)[0]
+    want = "uint8" if cfg.uint8_transfer else "float32"
+    if str(rgb_spec.dtype) != want:
+        flip = not cfg.uint8_transfer
+        raise SystemExit(
+            f"program expects {rgb_spec.dtype} frames but the config's wire "
+            f"format is {want} (uint8_transfer={cfg.uint8_transfer}); this "
+            "is a pre-/post-quantized-wire export — rerun with "
+            f"--set uint8_transfer={flip} to match the program blob")
 
     B = args.batch_size
     # loop-invariant device constants (two host->device transfers each —
@@ -143,7 +246,10 @@ def main():
     else:
         def _wire(x):
             return np.asarray(x, np.float32)
-    if args.vmem_limit_kib:
+    # 0 = explicit compiler-defaults arm (matches bench.py's documented
+    # --latency-vmem-kib semantics); None = flag absent. A truthiness test
+    # here silently dropped the 0 arm (ADVICE r4).
+    if args.vmem_limit_kib is not None and args.vmem_limit_kib != 0:
         from step_tpu.utils.compile_opts import compile_with_serving_options
 
         # AOT-compile with the requested option now (zeros chunk, same
@@ -168,38 +274,27 @@ def main():
     vdirs = _video_dirs(args.frames_dir)
     pool = ThreadPoolExecutor(1)
     try:
-        pending = pool.submit(_load_clips, vdirs[0], cfg)
+        pending = pool.submit(_load_clips, vdirs[0], cfg, args.fast_tiling)
         for i, vdir in enumerate(vdirs):
             video = os.path.basename(vdir.rstrip("/"))
-            clips, idx = pending.result()
+            clips, idx, owned = pending.result()
             if i + 1 < len(vdirs):
-                pending = pool.submit(_load_clips, vdirs[i + 1], cfg)
-            L = clips.shape[0]
-            for s in range(0, L, B):
-                chunk = clips[s : s + B]
-                n = chunk.shape[0]
-                if n < B:  # pad the final batch; padded rows dropped below
-                    chunk = np.concatenate(
-                        [chunk, np.repeat(chunk[-1:], B - n, axis=0)])
-                out = run(variables, jnp.asarray(_wire(chunk)), props, pmask)
-                boxes = np.asarray(out["frame_boxes"])[:n]
-                scores = np.asarray(out["frame_scores"])[:n]
-                mask = np.asarray(out["frame_mask"])[:n]
-                for b in range(n):
-                    keep = np.argwhere(
-                        (mask[b] > 0) & (scores[b] > cfg.score_thresh))
-                    for t, c, k in keep:
-                        fi = int(idx[s + b, t])
-                        if fi < 0:  # repeated-tail padding, not a real frame
-                            continue
-                        detections.append((
-                            (video, fi + 1), int(c),
-                            float(scores[b, t, c, k]), boxes[b, t, c, k]))
-            print(f"{video}: {L} clips served", flush=True)
+                pending = pool.submit(_load_clips, vdirs[i + 1], cfg,
+                                      args.fast_tiling)
+            detections.extend(serve_video(
+                run, variables, cfg, clips, idx, owned, props, pmask, B,
+                video, _wire))
+            print(f"{video}: {clips.shape[0]} clips served", flush=True)
     finally:
         # don't block a failing serve on the in-flight prefetch decode
         pool.shutdown(wait=False, cancel_futures=True)
 
+    if not args.fast_tiling:
+        # edge-clamped sliding windows revisit boundary frames — collapse
+        # duplicates exactly like the eval pipeline (test.py's dump)
+        from step_tpu.evaluate import dedupe_frame_detections
+
+        detections = dedupe_frame_detections(detections)
     with open(args.out, "wb") as f:
         pickle.dump({"detections": detections}, f)
     print(f"wrote {len(detections)} detections -> {args.out}")

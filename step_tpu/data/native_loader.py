@@ -79,6 +79,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
 
 
 def native_available() -> bool:
+    # STEP_TPU_DISABLE_NATIVE=1 forces the cv2 python decode path: the
+    # native libjpeg+bilinear pixels are near- but not bit-identical to
+    # cv2's, so decode-parity comparisons (e.g. serve.py vs test.py on the
+    # same frames) pin both sides to one decoder.
+    if os.environ.get("STEP_TPU_DISABLE_NATIVE"):
+        return False
     return get_lib() is not None
 
 

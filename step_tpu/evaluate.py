@@ -292,7 +292,10 @@ def collect_video_tubes(
         # identical pixels — flow included (it previously shipped f32 here,
         # which both paid 4x the bandwidth AND handed the detect program
         # un-quantized flow pixels the loader path never produces).
-        if cfg.uint8_transfer and batch.dtype == np.float32:
+        # any float dtype means "un-quantized pixels" (a float64 batch must
+        # not silently bypass quantization and retrace the program — ADVICE
+        # r4); integer dtypes are already on the wire format.
+        if cfg.uint8_transfer and np.issubdtype(batch.dtype, np.floating):
             from step_tpu.data.pipeline import (flow_to_int8_wire,
                                                 rgb_to_uint8_wire)
 

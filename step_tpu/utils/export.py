@@ -110,3 +110,16 @@ def load_detect_fn(blob: bytes):
     ``(variables, rgb, proposals, prop_mask) -> detections dict``."""
     exported = jax_export.deserialize(blob)
     return jax.jit(exported.call)
+
+
+def detect_fn_input_specs(blob: bytes):
+    """(rgb, proposals, prop_mask) avals of an exported detect program.
+
+    The wire dtype is frozen into the artifact at export time
+    (`_detect_arg_specs` follows cfg.uint8_transfer), so a serving process
+    can check its config's wire format against the blob BEFORE the first
+    batch instead of surfacing an opaque dtype error mid-serve."""
+    exported = jax_export.deserialize(blob)
+    args, _kwargs = jax.tree.unflatten(exported.in_tree, exported.in_avals)
+    _variables, rgb, props, mask = args
+    return rgb, props, mask
