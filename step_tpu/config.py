@@ -283,6 +283,23 @@ class StepConfig:
     # inference collapses — measured on the synthetic oracle (tube score for
     # the GT class 0.001 with jitter vs 0.995 without).
     gt_jitter_proposals: int = 0
+    # Gradient accumulation (reference ``train.py``'s multi-GPU
+    # DataParallel effective batch (recon §3.1), single-chip analogue).
+    # cfg.batch_size stays the EFFECTIVE batch: train_step splits it into
+    # `grad_accum_steps` equal micro-batches, lax.scans over them
+    # accumulating gradients, and applies ONE optimizer update with the
+    # micro-mean gradient — numerically the k×-batch gradient (each
+    # micro-loss is a per-sample mean; equal micro sizes ⇒ mean of means ==
+    # full-batch mean). Device memory scales with the MICRO batch
+    # (batch_size // grad_accum_steps): effective B=64/128 fits one v5e
+    # chip whose batch axis otherwise ends at 32 (VALIDATION.md round 4).
+    # BN semantics: train-mode BN normalizes each micro-batch by its OWN
+    # statistics (like per-GPU BN under the reference's DataParallel, which
+    # never syncs batch stats across replicas); the running stats ship as
+    # the MEAN of the k one-step updates — exactly the one-big-step update
+    # for running means, approximate for running vars (the between-micro
+    # variance term is absent). 1 disables (the default).
+    grad_accum_steps: int = 1
 
     # ---- parallelism ----
     mesh_shape: Tuple[int, ...] = (8,)  # v5e-8 pure-DP mesh
@@ -346,6 +363,14 @@ class StepConfig:
         if self.remat_policy not in ("full", "dots"):
             raise ValueError("remat_policy must be 'full' or 'dots', got "
                              f"{self.remat_policy!r}")
+        if self.grad_accum_steps < 1:
+            raise ValueError("grad_accum_steps must be >= 1, got "
+                             f"{self.grad_accum_steps}")
+        if self.batch_size % self.grad_accum_steps:
+            raise ValueError(
+                "batch_size (the EFFECTIVE batch) must divide into "
+                f"grad_accum_steps equal micro-batches; got {self.batch_size}"
+                f" % {self.grad_accum_steps} != 0")
 
 
 # The five BASELINE.json configs as named presets (BASELINE.json::configs).

@@ -120,7 +120,14 @@ def create_train_state(
 def train_step(state: TrainState, batch: dict, rng: jax.Array,
                cfg: StepConfig, model: STEPDetector):
     """One optimizer step. `batch` keys: rgb, (flow), proposals, prop_mask,
-    gt_tubes, gt_labels, gt_mask."""
+    gt_tubes, gt_labels, gt_mask.
+
+    With ``cfg.grad_accum_steps = k > 1`` the batch (still the EFFECTIVE
+    batch) is split into k equal micro-batches and scanned, accumulating
+    the micro-mean gradient and batch-stats update into ONE optimizer step
+    (reference multi-GPU DataParallel effective batch (recon §3.1),
+    single-chip analogue) — memory scales with the micro-batch. Semantics
+    documented on the config field."""
 
     dropout_rng = jax.random.fold_in(rng, state.step)
     # flow-stream detectors (late-fusion protocol) train on the flow tensor
@@ -130,7 +137,6 @@ def train_step(state: TrainState, batch: dict, rng: jax.Array,
             f"input_stream={cfg.input_stream!r} training needs a "
             "flow-enabled dataset (batch has no 'flow'; use "
             "UCFDataset(with_flow=True) — synthetic/AVA carry no flow)")
-    primary = batch["rgb"] if cfg.input_stream == "rgb" else batch["flow"]
 
     # Finetune policy: differentiate ONLY the trainable partition — with
     # frozen params held as constants, XLA stops the backward pass at the
@@ -141,32 +147,70 @@ def train_step(state: TrainState, batch: dict, rng: jax.Array,
     frozen_params = {k: v for k, v in state.params.items()
                      if k in frozen_names}
 
-    def loss_fn(trainable):
+    def loss_fn(trainable, mb, drng):
         params = {**trainable, **frozen_params}
+        primary = mb["rgb"] if cfg.input_stream == "rgb" else mb["flow"]
         outputs, mutated = model.apply(
             {"params": params, "batch_stats": state.batch_stats},
             primary,
-            batch["proposals"],
-            batch.get("flow") if cfg.two_stream else None,
+            mb["proposals"],
+            mb.get("flow") if cfg.two_stream else None,
             train=True,
-            rngs={"dropout": dropout_rng},
+            rngs={"dropout": drng},
             mutable=["batch_stats"],
         )
         loss, metrics = step_losses(
             outputs,
-            batch["gt_tubes"],
-            batch["gt_labels"],
-            batch["gt_mask"],
-            batch["prop_mask"],
+            mb["gt_tubes"],
+            mb["gt_labels"],
+            mb["gt_mask"],
+            mb["prop_mask"],
             cfg,
         )
         return loss, (metrics, mutated["batch_stats"])
 
     trainable = {k: v for k, v in state.params.items()
                  if k not in frozen_names}
-    (loss, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        trainable
-    )
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    accum = cfg.grad_accum_steps
+    if accum == 1:
+        (loss, (metrics, new_bs)), grads = grad_fn(
+            trainable, batch, dropout_rng)
+    else:
+        B = batch["rgb"].shape[0]
+        if B % accum:
+            raise ValueError(f"batch dim {B} not divisible by "
+                             f"grad_accum_steps={accum}")
+
+        def _split(x):
+            return x.reshape((accum, B // accum) + x.shape[1:])
+
+        micro = jax.tree_util.tree_map(_split, dict(batch))
+        drngs = jax.random.split(dropout_rng, accum)
+
+        def _body(acc, xs):
+            mb, drng = xs
+            (_, (m, bs)), g = grad_fn(trainable, mb, drng)
+            acc_g, acc_bs, acc_m = acc
+            add = lambda a, b: jax.tree_util.tree_map(jnp.add, a, b)
+            return (add(acc_g, g), add(acc_bs, bs), add(acc_m, m)), None
+
+        # zero accumulators with EXACTLY grad_fn's output pytree structure
+        # (incl. FrozenDict-vs-dict node types) via eval_shape — no FLOPs
+        (_, (m_s, bs_s)), g_s = jax.eval_shape(
+            grad_fn, trainable,
+            jax.tree_util.tree_map(lambda x: x[0], micro), drngs[0])
+        zeros = lambda t: jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), t)
+        init = (zeros(g_s), zeros(bs_s), zeros(m_s))
+        (g_sum, bs_sum, m_sum), _ = jax.lax.scan(
+            _body, init, (micro, drngs))
+        inv = 1.0 / accum
+        scale = lambda t: jax.tree_util.tree_map(lambda x: x * inv, t)
+        grads, metrics = scale(g_sum), scale(m_sum)
+        # mean of the k one-step updates == the one-big-step update for
+        # running means (linear in the batch statistic); see config note.
+        new_bs = scale(bs_sum)
     metrics["grad_norm"] = optax.global_norm(grads)  # trainable-only norm
     if frozen_params:
         # shape-completing zeros for tx.update; set_to_zero never reads them

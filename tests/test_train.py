@@ -420,3 +420,105 @@ def test_adam_mu_dtype_bfloat16():
     assert leaf_dtypes(state2.params) == {f32}
     adam2 = state2.opt_state[1][0]
     assert leaf_dtypes(adam2.mu) == {bf16}
+
+
+def _accum_batch(cfg, n, seed=0):
+    raw = make_batch(seed, n, SYN)
+    return {k: jnp.asarray(v) for k, v in
+            build_model_batch(raw, cfg, train=True, seed=seed).items()
+            if k != "meta"}
+
+
+def test_grad_accum_identical_micro_batches_exact():
+    """k identical micro-batches accumulated == one k×-batch step, exactly:
+    with the big batch built as two identical halves, each micro-batch's
+    BN statistics EQUAL the big batch's, so (dropout off) the accumulated
+    micro-mean gradient, the mean-of-updates batch_stats, and the loss must
+    all match the accum=1 program on the same batch (reference DataParallel
+    effective-batch semantics (recon §3.1), single-chip analogue)."""
+    base = CFG.replace(dropout_rate=0.0, batch_size=4)
+    half = _accum_batch(base, 2)
+    big = {k: jnp.concatenate([v, v]) for k, v in half.items()}
+
+    results = {}
+    for accum in (1, 2):
+        cfg = base.replace(grad_accum_steps=accum)
+        model = STEPDetector(cfg)
+        state = create_train_state(cfg, jax.random.PRNGKey(0), model)
+        new_state, m = train_step(state, big, jax.random.PRNGKey(1),
+                                  cfg, model)
+        results[accum] = (new_state, m)
+    s1, m1 = results[1]
+    s2, m2 = results[2]
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(m1["grad_norm"]),
+                               float(m2["grad_norm"]), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6),
+        s1.params, s2.params)
+    jax.tree.map(
+        # 1e-5: big-batch variance sums 4 samples in one pass, the micro
+        # path in two — mathematically equal, fp summation order differs
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5),
+        s1.batch_stats, s2.batch_stats)
+
+
+def test_grad_accum_heterogeneous_micro_mean_semantics():
+    """On heterogeneous micro-batches the accumulated step's loss is the
+    mean of the per-micro losses and its batch_stats are the mean of the
+    per-micro one-step updates (the documented semantics — exact for
+    running means). Per-micro references come from accum=1 train_step on
+    each half from the SAME initial state (dropout off ⇒ identical
+    forward)."""
+    base = CFG.replace(dropout_rate=0.0, batch_size=4, gt_jitter_proposals=0)
+    cfg2 = base.replace(grad_accum_steps=2)
+    model = STEPDetector(base)
+    state = create_train_state(base, jax.random.PRNGKey(0), model)
+    big = _accum_batch(base, 4, seed=3)   # 4 distinct clips
+    halves = [{k: v[:2] for k, v in big.items()},
+              {k: v[2:] for k, v in big.items()}]
+
+    acc_state, m_acc = train_step(state, big, jax.random.PRNGKey(1), cfg2,
+                                  model)
+
+    micro_losses, micro_bs = [], []
+    for h in halves:
+        s_i, m_i = train_step(state, h, jax.random.PRNGKey(1), base, model)
+        micro_losses.append(float(m_i["loss"]))
+        micro_bs.append(s_i.batch_stats)
+    np.testing.assert_allclose(float(m_acc["loss"]),
+                               np.mean(micro_losses), rtol=1e-6)
+    mean_bs = jax.tree.map(lambda a, b: (a + b) / 2.0, *micro_bs)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6),
+        acc_state.batch_stats, mean_bs)
+
+
+def test_grad_accum_sharded_compiles_and_runs():
+    """grad_accum_steps composes with the data-parallel mesh: the scan over
+    micro-batches jits under GSPMD sharding (batch axis 'data') and one
+    step produces a finite loss."""
+    from step_tpu.parallel.mesh import (create_mesh, replicated_sharding,
+                                        shard_batch)
+    from step_tpu.train.trainer import make_parallel_train_step
+
+    cfg = CFG.replace(batch_size=16, grad_accum_steps=2, dropout_rate=0.0)
+    mesh = create_mesh((8,))
+    model = STEPDetector(cfg)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), model)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    batch = shard_batch(_accum_batch(cfg, 16), mesh)
+    pstep = make_parallel_train_step(cfg, model, mesh)
+    _, metrics = pstep(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_grad_accum_config_validation():
+    with pytest.raises(ValueError, match="grad_accum_steps"):
+        CFG.replace(grad_accum_steps=0)
+    with pytest.raises(ValueError, match="micro-batches"):
+        CFG.replace(batch_size=4, grad_accum_steps=3)
