@@ -57,7 +57,8 @@ def collect_detections(
     `variables_flow`: a SECOND single-stream detector's variables enables
     the reference late-fusion protocol (`detect_clip_late_fusion`):
     `variables` is then the RGB-stream detector, scores fuse pre-NMS.
-    Requires a dataset built with flow; not supported with `mesh`.
+    Requires a dataset built with flow; composes with `mesh` (the fusion
+    program shards over the data axis like the single-stream one).
     """
     if cfg.temporal_stride != 1:
         # The frame-ownership dedupe below assumes clips sample EVERY frame
@@ -75,10 +76,15 @@ def collect_detections(
 
     if variables_flow is not None:
         if mesh is not None:
-            raise NotImplementedError("late fusion + sharded eval")
-        from step_tpu.inference import make_late_fusion_detect_fn
+            from step_tpu.inference import (
+                make_parallel_late_fusion_detect_fn, pad_batch_to)
 
-        detect_lf = make_late_fusion_detect_fn(cfg)
+            detect_lf = make_parallel_late_fusion_detect_fn(cfg, mesh)
+            n_shards = int(np.prod(mesh.devices.shape))
+        else:
+            from step_tpu.inference import make_late_fusion_detect_fn
+
+            detect_lf = make_late_fusion_detect_fn(cfg)
     elif mesh is not None:
         from step_tpu.inference import make_parallel_detect_fn, pad_batch_to
 
@@ -214,7 +220,8 @@ def collect_video_tubes(
     embarrassingly parallel, so they shard over the mesh's data axis
     (`make_parallel_detect_fn`); `clip_batch` rounds up to a multiple of
     the mesh size. The per-video LINK program stays single-device (one
-    tiny [C,K,L] Viterbi per video). Not supported with `variables_flow`.
+    tiny [C,K,L] Viterbi per video). Composes with `variables_flow`
+    (the fusion program shards the same way).
 
     `calibration`: {'a': [C], 'b': [C]} (or .npz path) — per-class Platt
     applied to the tube-score surface BEFORE linking, so the Viterbi
@@ -237,10 +244,15 @@ def collect_video_tubes(
     need_flow = eval_needs_flow(cfg, variables_flow)
     if variables_flow is not None:
         if mesh is not None:
-            raise NotImplementedError("late fusion + sharded device linking")
-        from step_tpu.inference import make_late_fusion_detect_fn
+            from step_tpu.inference import make_parallel_late_fusion_detect_fn
 
-        detect_lf = make_late_fusion_detect_fn(cfg)
+            n_shards = int(np.prod(mesh.devices.shape))
+            clip_batch = -(-clip_batch // n_shards) * n_shards
+            detect_lf = make_parallel_late_fusion_detect_fn(cfg, mesh)
+        else:
+            from step_tpu.inference import make_late_fusion_detect_fn
+
+            detect_lf = make_late_fusion_detect_fn(cfg)
     elif mesh is not None:
         from step_tpu.inference import make_parallel_detect_fn
 

@@ -524,6 +524,30 @@ def make_parallel_detect_fn(cfg: StepConfig, mesh,
     return _detect
 
 
+def make_parallel_late_fusion_detect_fn(cfg: StepConfig, mesh):
+    """Batch-sharded `detect_clip_late_fusion` over a device mesh — the
+    late-fusion analog of `make_parallel_detect_fn` (reference: the
+    two-stream ``test.py`` path also runs under ``nn.DataParallel``
+    (recon)). Both streams' variables replicate; rgb/flow/proposals/
+    prop_mask shard their batch dim over 'data'. Like the single-stream
+    DP program, GSPMD inserts no collectives (per-clip independent)."""
+    from step_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+    repl = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, repl, bsh, bsh, bsh, bsh),
+        out_shardings=bsh,
+    )
+    def _detect_lf(v_rgb, v_flow, rgb, proposals, prop_mask, flow):
+        return detect_clip_late_fusion(v_rgb, v_flow, rgb, flow,
+                                       proposals, prop_mask, cfg)
+
+    return _detect_lf
+
+
 def pad_batch_to(arr: np.ndarray, multiple: int) -> np.ndarray:
     """Pad a [B, ...] array's batch dim up to the next multiple by repeating
     the last element (keeps shapes static for sharded eval; padded rows are

@@ -334,3 +334,59 @@ def test_device_and_host_linking_on_same_class_multiactor_video():
         assert tubes
         m = video_map(tubes, gt, cfg.num_classes, 0.2)
         assert np.isfinite(m["mAP"])
+
+
+def test_late_fusion_sharded_matches_single_device():
+    """Late fusion composes with the device mesh on BOTH eval surfaces
+    (the round-4 NotImplementedError guards, now implemented): sharded
+    fused frame detections and sharded fused device-linked tubes must
+    equal their single-device counterparts — DP detection is per-clip
+    independent, so sharding is a pure layout change for the fusion
+    program too."""
+    from step_tpu.data.synthetic import SyntheticConfig, SyntheticVideoDataset
+    from step_tpu.evaluate import collect_detections, collect_video_tubes
+    from step_tpu.parallel.mesh import create_mesh
+
+    cfg = CFG.replace(score_thresh=0.0, chunk_stem=False)
+    T, fpc, W = cfg.total_frames, cfg.frames_per_chunk, 3
+    syn = SyntheticConfig(image_size=32, num_frames=(W - 1) * fpc + T,
+                          num_classes=cfg.num_classes, max_boxes=2)
+    vds = SyntheticVideoDataset(syn, num_videos=1, num_windows=W,
+                                window_frames=T, stride=fpc, seed=5,
+                                with_flow=True)
+    cfg_rgb = cfg.replace(two_stream=False, input_stream="rgb")
+    cfg_flow = cfg.replace(two_stream=False, input_stream="flow")
+    v_rgb = init_detector_cpu(cfg_rgb, jax.random.PRNGKey(0),
+                              STEPDetector(cfg_rgb))
+    v_flow = init_detector_cpu(cfg_flow, jax.random.PRNGKey(1),
+                               STEPDetector(cfg_flow))
+    mesh = create_mesh()
+
+    # frame-detection surface (collect_detections)
+    single = collect_detections(v_rgb, vds, cfg, batch_size=4,
+                                image_scale_to_gt=False,
+                                variables_flow=v_flow)
+    sharded = collect_detections(v_rgb, vds, cfg, batch_size=4,
+                                 image_scale_to_gt=False,
+                                 variables_flow=v_flow, mesh=mesh)
+    assert len(single) > 0 and len(single) == len(sharded)
+    for (k_a, c_a, s_a, b_a), (k_b, c_b, s_b, b_b) in zip(single, sharded):
+        assert (k_a, c_a) == (k_b, c_b)
+        np.testing.assert_allclose(s_a, s_b, rtol=1e-5)
+        np.testing.assert_allclose(b_a, b_b, rtol=1e-4, atol=1e-4)
+
+    # tube surface (collect_video_tubes, device linking)
+    single_t = collect_video_tubes(v_rgb, vds, cfg, clip_batch=8,
+                                   image_scale_to_gt=False,
+                                   variables_flow=v_flow)
+    sharded_t = collect_video_tubes(v_rgb, vds, cfg, clip_batch=8,
+                                    image_scale_to_gt=False,
+                                    variables_flow=v_flow, mesh=mesh)
+    assert len(single_t) > 0 and len(single_t) == len(sharded_t)
+    for (v_a, c_a, s_a, f_a), (v_b, c_b, s_b, f_b) in zip(single_t,
+                                                          sharded_t):
+        assert (v_a, c_a) == (v_b, c_b)
+        np.testing.assert_allclose(s_a, s_b, rtol=1e-5)
+        assert set(f_a) == set(f_b)
+        for f in f_a:
+            np.testing.assert_allclose(f_a[f], f_b[f], rtol=1e-4, atol=1e-4)
