@@ -32,6 +32,12 @@ class SyntheticConfig:
     # are re-sampled (best effort) to keep per-frame IoU between same-class
     # actors < 0.3, so both are visually recoverable.
     same_class_actors: bool = False
+    # Pin every actor's class (implies one shared class like
+    # same_class_actors, without the IoU re-sampling): `write_ucf_layout`
+    # uses it so the on-disk label (pkl gttubes key) always matches the
+    # pixel color — a trained model's eval on the layout would otherwise
+    # see inconsistent color↔class mappings. None = per-clip random.
+    force_label: "int | None" = None
 
     # class → RGB color of the moving box
     @property
@@ -85,6 +91,8 @@ def make_clip(seed: int, cfg: SyntheticConfig = SyntheticConfig()):
 
     n_boxes = G if cfg.same_class_actors else rng.randint(1, G + 1)
     shared_label = rng.randint(cfg.num_classes) if cfg.same_class_actors else None
+    if cfg.force_label is not None:
+        shared_label = int(cfg.force_label)
     gt_tubes = np.zeros((G, T, 4), np.float32)
     gt_labels = np.zeros((G,), np.int32)
     gt_mask = np.zeros((G,), np.float32)
@@ -228,3 +236,79 @@ class SyntheticVideoDataset:
         if self.with_flow:
             item["flow"] = clip["flow"][s : s + T]
         return item
+
+
+def write_ucf_layout(
+    root: str,
+    num_videos: int,
+    num_classes: int = 24,
+    image_size: int = 32,
+    frames_lo: int = 100,
+    frames_hi: int = 150,
+    max_boxes: int = 2,
+    seed: int = 0,
+    quality: int = 90,
+):
+    """Materialize a synthetic-oracle dataset ON DISK in the UCF101-24
+    layout (``rgb-images/<label>/<video>/%05d.jpg`` + ``UCF101v2-GT.pkl``)
+    at chosen scale statistics.
+
+    The reference evaluates 3,207 real videos of ~100-150 frames over 24
+    classes (SURVEY §2.1); its container has no real data, so this writer
+    is the full-scale-STATISTICS stand-in: every host-side eval stage
+    (JPEG decode, sliding-window collection, matching, linking, AP) sees
+    realistic row counts even though the pixels are oracle clips
+    (`make_clip` — linear motion, so linking/mAP have exact GT).
+
+    Videos are assigned round-robin over classes; each is one long
+    `make_clip` (same-class actors, exact tube GT). Returns the sorted
+    video list. Idempotent per (root contents): existing files are
+    overwritten.
+    """
+    import os
+    import pickle
+
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    labels = [f"c{c:02d}" for c in range(num_classes)]
+    nframes, gttubes, resolution, videos = {}, {}, {}, []
+    for i in range(num_videos):
+        cls = i % num_classes
+        F = int(rng.randint(frames_lo, frames_hi + 1))
+        # force_label pins the pixel color class to the on-disk label so a
+        # model TRAINED on this layout sees a consistent color↔class map
+        syn = SyntheticConfig(image_size=image_size, num_frames=F,
+                              num_classes=num_classes, max_boxes=max_boxes,
+                              force_label=cls)
+        clip = make_clip(int(rng.randint(2**31 - 1)), syn)
+        video = f"{labels[cls]}/v_{i:05d}"
+        vdir = os.path.join(root, "rgb-images", video)
+        os.makedirs(vdir, exist_ok=True)
+        u8 = (np.clip(clip["rgb"], 0, 1) * 255).astype(np.uint8)
+        for f in range(F):
+            cv2.imwrite(os.path.join(vdir, f"{f + 1:05d}.jpg"),
+                        cv2.cvtColor(u8[f], cv2.COLOR_RGB2BGR),
+                        [cv2.IMWRITE_JPEG_QUALITY, quality])
+        tubes = []
+        frames_col = np.arange(1, F + 1, dtype=np.float32)[:, None]
+        for g in range(max_boxes):
+            if clip["gt_mask"][g] <= 0:
+                continue
+            tubes.append(np.concatenate(
+                [frames_col, clip["gt_tubes"][g]], axis=1))
+        nframes[video] = F
+        gttubes[video] = {cls: tubes}
+        resolution[video] = (image_size, image_size)
+        videos.append(video)
+
+    with open(os.path.join(root, "UCF101v2-GT.pkl"), "wb") as f:
+        pickle.dump({
+            "labels": labels,
+            "train_videos": [[]],
+            "test_videos": [sorted(videos)],
+            "nframes": nframes,
+            "gttubes": gttubes,
+            "resolution": resolution,
+        }, f)
+    return sorted(videos)

@@ -88,6 +88,72 @@ def _frame_ious(box, gts):
     return _iou_1vsN(box, np.stack(gts)) if len(gts) else np.zeros(0, np.float32)
 
 
+def _greedy_tp_frames_vec(det_fids, det_boxes, gt_fids, gt_boxes,
+                          iou_threshold):
+    """Vectorized frame matcher — EXACTLY `_greedy_tp` over
+    `_class_matches(..., _frame_ious)`, restated without the per-detection
+    Python loop (at reference scale — 3,207 videos — the loop walks
+    millions of rows per class; measured dominant in the full-scale
+    rehearsal, scripts/rehearse_fullscale.py).
+
+    Arguments are one class's detections SORTED BY DESCENDING SCORE
+    (`det_fids` int frame ids, `det_boxes` [N,4]) and its GT (`gt_fids`
+    int frame ids, `gt_boxes` [M,4]). The official rule decomposes:
+
+      * each detection's best GT = argmax IoU among ITS frame's GT
+        (same argmax tie-break as np.argmax in the loop: first max wins,
+        GT order preserved);
+      * a detection is TP iff best IoU >= threshold AND it is the FIRST
+        (highest-scored) eligible detection claiming that GT — a later
+        claim of a taken GT is an FP with no reassignment, so TP =
+        first occurrence of each claimed GT id among eligible rows
+        (np.unique(return_index=True) returns exactly those).
+    """
+    N, M = len(det_fids), len(gt_fids)
+    tp = np.zeros(N, bool)
+    if N == 0 or M == 0:
+        return tp
+    # group GT by frame: pad each frame's GT list to the max count
+    order = np.argsort(gt_fids, kind="stable")     # keep per-frame GT order
+    gt_fids_s, gt_boxes_s = gt_fids[order], gt_boxes[order]
+    uniq_f, starts, counts = np.unique(gt_fids_s, return_index=True,
+                                       return_counts=True)
+    G = int(counts.max())
+    F = len(uniq_f)
+    slot = np.arange(len(gt_fids_s)) - np.repeat(starts, counts)  # 0..cnt-1
+    frame_row = np.repeat(np.arange(F), counts)
+    padded = np.zeros((F + 1, G, 4), np.float32)   # row F = "no GT" sentinel
+    valid = np.zeros((F + 1, G), bool)
+    padded[frame_row, slot] = gt_boxes_s
+    valid[frame_row, slot] = True
+    # map detection frames into GT frame rows (missing frame -> sentinel)
+    pos = np.searchsorted(uniq_f, det_fids)
+    pos_c = np.minimum(pos, F - 1)
+    det_rows = np.where(uniq_f[pos_c] == det_fids, pos_c, F)
+
+    g = padded[det_rows]                            # [N, G, 4]
+    b = det_boxes[:, None]                          # [N, 1, 4]
+    x1 = np.maximum(b[..., 0], g[..., 0])
+    y1 = np.maximum(b[..., 1], g[..., 1])
+    x2 = np.minimum(b[..., 2], g[..., 2])
+    y2 = np.minimum(b[..., 3], g[..., 3])
+    inter = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
+    area_d = ((b[..., 2] - b[..., 0]) * (b[..., 3] - b[..., 1]))
+    area_g = ((g[..., 2] - g[..., 0]) * (g[..., 3] - g[..., 1]))
+    iou = inter / np.maximum(area_d + area_g - inter, 1e-8)
+    iou = np.where(valid[det_rows], iou, -1.0)      # pad slots never win
+
+    j = np.argmax(iou, axis=1)                      # loop's int(np.argmax)
+    best = iou[np.arange(N), j]
+    eligible = best >= iou_threshold
+    idx = np.flatnonzero(eligible)
+    if idx.size:
+        gids = det_rows[idx].astype(np.int64) * G + j[idx]
+        _, first = np.unique(gids, return_index=True)
+        tp[idx[first]] = True
+    return tp
+
+
 def _tube_ious(tube, gts):
     return np.asarray([spatio_temporal_iou(tube, g) for g in gts], np.float32)
 
@@ -106,25 +172,47 @@ def match_detections(
     shared by `frame_map` (AP) and the per-class score calibration fitter
     (eval/calibration.py), so both label TPs identically.
     """
-    gt_by_cf = defaultdict(list)
     gt_count = np.zeros(num_classes, np.int64)
+    if detections:
+        # columnarize ONCE (one C-level pass); frame keys intern to ints so
+        # the per-class matcher is pure vectorized numpy — the former
+        # per-detection Python path walked millions of rows at reference
+        # scale (3,207 videos; see scripts/rehearse_fullscale.py)
+        d_fkey, d_cls, d_score, d_box = zip(*detections)
+        fid_of: dict = {}
+        d_fid = np.fromiter((fid_of.setdefault(k, len(fid_of))
+                             for k in d_fkey), np.int64, len(d_fkey))
+        d_cls = np.fromiter(d_cls, np.int64, len(detections))
+        # f64 for the SORT (the former sorted() compared python floats);
+        # the returned score arrays stay f32 like before
+        d_score = np.fromiter(d_score, np.float64, len(detections))
+        d_box = np.asarray(d_box, np.float32)
+    else:
+        fid_of = {}
+        d_fid = d_cls = np.zeros(0, np.int64)
+        d_score = np.zeros(0, np.float64)
+        d_box = np.zeros((0, 4), np.float32)
+    g_fid_l, g_cls_l, g_box_l = [], [], []
     for frame_key, cls, box in groundtruth:
-        gt_by_cf[(cls, frame_key)].append(np.asarray(box, np.float32))
         gt_count[cls] += 1
-
-    det_by_class = defaultdict(list)
-    for frame_key, cls, score, box in detections:
-        det_by_class[cls].append((float(score), frame_key, np.asarray(box, np.float32)))
+        g_fid_l.append(fid_of.setdefault(frame_key, len(fid_of)))
+        g_cls_l.append(cls)
+        g_box_l.append(box)
+    g_fid = np.asarray(g_fid_l, np.int64)
+    g_cls = np.asarray(g_cls_l, np.int64)
+    g_box = (np.asarray(g_box_l, np.float32) if g_box_l
+             else np.zeros((0, 4), np.float32))
 
     matched = {}
     for cls in range(num_classes):
-        dets = [(s, (cls, fk), box)
-                for s, fk, box in sorted(det_by_class[cls],
-                                         key=lambda d: -d[0])]
-        gt_map = {k: v for k, v in gt_by_cf.items() if k[0] == cls}
-        scores = np.asarray([d[0] for d in dets], np.float32)
-        tp = _greedy_tp(_class_matches(dets, gt_map, _frame_ious),
-                        gt_map, iou_threshold)
+        dm = d_cls == cls
+        # descending score; stable so equal scores keep input order (the
+        # former sorted(key=-score) behavior)
+        order = np.argsort(-d_score[dm], kind="stable")
+        scores = d_score[dm][order].astype(np.float32)
+        gm = g_cls == cls
+        tp = _greedy_tp_frames_vec(d_fid[dm][order], d_box[dm][order],
+                                   g_fid[gm], g_box[gm], iou_threshold)
         matched[cls] = (scores, tp)
     return {"matched": matched, "num_gt": gt_count}
 
@@ -163,10 +251,21 @@ def spatio_temporal_iou(
     if not inter_frames:
         return 0.0
     t_iou = len(inter_frames) / len(union_frames)
-    s_iou = np.mean(
-        [float(_iou_1vsN(np.asarray(tube_a[f]), np.asarray(tube_b[f])[None])[0])
-         for f in sorted(inter_frames)]
-    )
+    # one vectorized IoU over the intersection frames (the per-frame
+    # _iou_1vsN loop cost ~0.3 ms/pair at 125-frame tubes — this runs per
+    # (pred, GT) tube pair at dataset scale)
+    fs = sorted(inter_frames)
+    a = np.asarray([tube_a[f] for f in fs], np.float32)
+    bb = np.asarray([tube_b[f] for f in fs], np.float32)
+    lt = np.maximum(a[:, :2], bb[:, :2])
+    rb = np.minimum(a[:, 2:], bb[:, 2:])
+    inter = np.prod(np.maximum(rb - lt, 0), axis=1)
+    area_a = np.prod(a[:, 2:] - a[:, :2], axis=1)
+    area_b = np.prod(bb[:, 2:] - bb[:, :2], axis=1)
+    # f64 mean: the former np.mean over a python-float list accumulated in
+    # f64; np.mean on the f32 array would accumulate in f32
+    s_iou = float(np.mean(inter / np.maximum(area_a + area_b - inter, 1e-8),
+                          dtype=np.float64))
     return float(t_iou * s_iou)
 
 

@@ -158,18 +158,26 @@ def collect_detections(
                 # duplicate-FP defect this dedupe exists to remove.
                 for t in range(tc0, tc0 + fpc):
                     owned_fkeys.add((video, int(frame_idx[t]) + 1))
-            for t, c, k in keep:
-                if frame_idx is not None:
-                    fkey = (video, int(frame_idx[t]) + 1)  # 1-based like GT
-                    central = tc0 <= t < tc0 + fpc
-                else:
-                    fkey = (video, meta.get("timestamp", int(t)))
-                    central = True
-                det_list.append(
-                    (fkey, int(c), float(scores[b, t, c, k]),
-                     boxes[b, t, c, k] * scale)
-                )
-                det_central.append(central)
+            if keep.size == 0:
+                continue
+            # vectorized extraction (the scalar per-survivor loop cost
+            # ~4 µs/row — dominant at full-scale detection counts, see
+            # scripts/rehearse_fullscale.py); values match the former
+            # float(scores[...])/int() scalar path exactly
+            ts, cs, ks = keep[:, 0], keep[:, 1], keep[:, 2]
+            sc = scores[b, ts, cs, ks].tolist()
+            bx = boxes[b, ts, cs, ks] * scale          # [n, 4]
+            if frame_idx is not None:
+                fis = (np.asarray(frame_idx)[ts] + 1).tolist()  # 1-based
+                fkeys = [(video, f) for f in fis]
+                central = ((ts >= tc0) & (ts < tc0 + fpc)).tolist()
+            else:
+                stamp = meta.get("timestamp")
+                fkeys = [(video, stamp if stamp is not None else t)
+                         for t in ts.tolist()]
+                central = [True] * len(fkeys)
+            det_list.extend(zip(fkeys, cs.tolist(), sc, bx))
+            det_central.extend(central)
     # Sliding clips revisit frames (total_frames = 3 chunks, stride = one
     # chunk): a frame's OWNING clip is the one whose central chunk covers
     # it (the chunks tile the video — same ownership rule as
@@ -419,13 +427,39 @@ def collect_video_tubes(
 
 def dedupe_frame_detections(detections):
     """Sliding clips revisit frames; keep each (key, cls, box-ish) once by
-    max score. The reference dedupes by writing per-frame dicts the same way."""
-    best = {}
-    for fkey, c, s, box in detections:
-        k = (fkey, c, tuple(np.round(box, 1)))
-        if k not in best or best[k][2] < s:
-            best[k] = (fkey, c, s, box)
-    return list(best.values())
+    max score. The reference dedupes by writing per-frame dicts the same way.
+
+    Vectorized (full-scale rehearsal: the per-detection dict walk cost
+    ~11 s/M rows): group key = (frame key, class, box rounded to 0.1px),
+    keep the highest-scored entry per group (earliest on ties), output in
+    first-occurrence order — exactly the former dict semantics."""
+    n = len(detections)
+    if n < 2:
+        return list(detections)
+    fkey_col, cls_col, score_col, box_col = zip(*detections)
+    fid_of: dict = {}
+    fid = np.fromiter((fid_of.setdefault(k, len(fid_of)) for k in fkey_col),
+                      np.int64, n)
+    cls = np.fromiter(cls_col, np.int64, n)
+    score = np.fromiter(score_col, np.float64, n)
+    # 0.1px-rounded coords as ints: distinct np.round(.,1) values map to
+    # distinct ints (multiples of 0.1 are ~exact after *10 + round)
+    coords = np.rint(np.round(np.asarray(box_col, np.float32), 1)
+                     * 10.0).astype(np.int64)
+    # sort by group, then score DESC within group (stable ⇒ earliest index
+    # wins ties, like the dict's strict `<` update rule)
+    order = np.lexsort((-score, coords[:, 3], coords[:, 2], coords[:, 1],
+                        coords[:, 0], cls, fid))
+    cols = np.column_stack([fid, cls, coords])[order]
+    new_group = np.empty(n, bool)
+    new_group[0] = True
+    new_group[1:] = (cols[1:] != cols[:-1]).any(axis=1)
+    starts = np.flatnonzero(new_group)
+    kept = order[starts]                          # best row per group
+    # first-occurrence output order (the dict preserved insertion order)
+    first_idx = np.minimum.reduceat(order, starts)
+    kept = kept[np.argsort(first_idx, kind="stable")]
+    return [detections[i] for i in kept]
 
 
 def link_frame_detections(
@@ -564,12 +598,25 @@ def evaluate_ucf(
     surface (twice total); parity with the host linker is tested in
     tests/test_eval.py.
     """
+    import time
+
+    # Phase wall-times (seconds) + row counts, returned as
+    # results["timings"] — the full-scale host-cost accounting VERDICT r4
+    # asked for (the reference evaluates 3,207 videos; collection/matching
+    # /linking/AP are host-side Python and their scaling must be measured,
+    # not assumed).
+    timings: dict = {}
+    t0 = time.perf_counter()
     coverage = {} if max_batches is not None else None
-    detections = dedupe_frame_detections(
-        collect_detections(variables, dataset, cfg, model,
-                           max_batches=max_batches, mesh=mesh,
-                           variables_flow=variables_flow, coverage=coverage)
-    )
+    raw_dets = collect_detections(variables, dataset, cfg, model,
+                                  max_batches=max_batches, mesh=mesh,
+                                  variables_flow=variables_flow,
+                                  coverage=coverage)
+    timings["collect_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    detections = dedupe_frame_detections(raw_dets)
+    timings["dedupe_s"] = time.perf_counter() - t0
+    timings["n_detections"] = len(detections)
     frame_gt, tube_gt = dataset.video_groundtruth()
     tube_gt_all = tube_gt
     if coverage is not None:
@@ -600,8 +647,11 @@ def evaluate_ucf(
         with open(dump_path, "wb") as f:
             pickle.dump({"detections": detections}, f)
 
+    t0 = time.perf_counter()
     results = {"frame_mAP@0.5": frame_map(detections, frame_gt, cfg.num_classes, 0.5)["mAP"]}
+    timings["frame_map_s"] = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
     if device_linking:
         if max_videos is None and max_batches is not None:
             max_videos = max_batches  # keep smoke-limited runs bounded
@@ -634,11 +684,23 @@ def evaluate_ucf(
         if coverage is not None:
             results["eval_subset"] = (
                 f"{len(coverage.get('videos', ()))} videos touched")
+    timings["link_s"] = time.perf_counter() - t0
+    timings["n_tubes"] = len(pred_tubes)
+    t0 = time.perf_counter()
     for thresh in (0.2, 0.5):
         results[f"video_mAP@{thresh}"] = video_map(
             pred_tubes, tube_gt, cfg.num_classes, thresh
         )["mAP"]
     results["video_mAP@0.5:0.95"] = video_map_range(pred_tubes, tube_gt, cfg.num_classes)
+    timings["video_map_s"] = time.perf_counter() - t0
+    try:
+        import resource
+
+        timings["peak_rss_mb"] = round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0, 1)
+    except ImportError:   # non-POSIX
+        pass
+    results["timings"] = timings
     return results
 
 

@@ -142,7 +142,17 @@ def main():
                                device_linking=args.device_linking,
                                max_videos=args.max_videos)
     for k, v in results.items():
-        print(f"{k}: {v:.4f}")
+        # results mixes floats (mAPs) with strings ("eval_subset") and the
+        # phase-timing dict; a blanket :.4f raised ValueError on any
+        # --max-batches run (the string "N videos" hit the float format)
+        if isinstance(v, float):
+            print(f"{k}: {v:.4f}")
+        elif isinstance(v, dict):
+            print(k + ": " + ", ".join(
+                f"{a}={b:.2f}" if isinstance(b, float) else f"{a}={b}"
+                for a, b in v.items()))
+        else:
+            print(f"{k}: {v}")
 
 
 if __name__ == "__main__":

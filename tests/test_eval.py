@@ -173,3 +173,116 @@ def test_matching_is_official_protocol_no_reassignment():
     dets_t = [("v", 0, 0.9, tube(d1)), ("v", 0, 0.8, tube(d2))]
     vm = video_map(dets_t, gt_t, num_classes=1, iou_threshold=0.2)
     np.testing.assert_allclose(vm["mAP"], 0.5)
+
+
+def test_vectorized_frame_matcher_parity_fuzz():
+    """match_detections' vectorized matcher == the per-detection loop
+    reference (`_greedy_tp` over `_class_matches`) bit-for-bit, fuzzed over
+    regimes that stress every branch: shared-best-GT claims (the official
+    no-reassignment rule), frames with no GT, GT with no detections,
+    duplicate boxes, tied scores, empty classes."""
+    from collections import defaultdict
+
+    from step_tpu.eval.detection_metrics import (_class_matches, _frame_ious,
+                                                 _greedy_tp,
+                                                 match_detections)
+
+    def loop_match(detections, groundtruth, num_classes, iou_threshold):
+        # the pre-round-5 implementation, verbatim
+        gt_by_cf = defaultdict(list)
+        gt_count = np.zeros(num_classes, np.int64)
+        for frame_key, cls, box in groundtruth:
+            gt_by_cf[(cls, frame_key)].append(np.asarray(box, np.float32))
+            gt_count[cls] += 1
+        det_by_class = defaultdict(list)
+        for frame_key, cls, score, box in detections:
+            det_by_class[cls].append(
+                (float(score), frame_key, np.asarray(box, np.float32)))
+        matched = {}
+        for cls in range(num_classes):
+            dets = [(s, (cls, fk), box)
+                    for s, fk, box in sorted(det_by_class[cls],
+                                             key=lambda d: -d[0])]
+            gt_map = {k: v for k, v in gt_by_cf.items() if k[0] == cls}
+            scores = np.asarray([d[0] for d in dets], np.float32)
+            tp = _greedy_tp(_class_matches(dets, gt_map, _frame_ious),
+                            gt_map, iou_threshold)
+            matched[cls] = (scores, tp)
+        return {"matched": matched, "num_gt": gt_count}
+
+    rng = np.random.RandomState(42)
+    for trial in range(6):
+        C = rng.randint(1, 5)
+        videos = [f"v{i}" for i in range(rng.randint(1, 4))]
+        frames = range(1, rng.randint(2, 8))
+        gt, dets = [], []
+        for v in videos:
+            for f in frames:
+                for _ in range(rng.randint(0, 3)):
+                    x1, y1 = rng.rand(2) * 50
+                    w, h = rng.rand(2) * 40 + 5
+                    gt.append(((v, f), rng.randint(C),
+                               np.asarray([x1, y1, x1 + w, y1 + h],
+                                          np.float32)))
+                for _ in range(rng.randint(0, 6)):
+                    if gt and rng.rand() < 0.6:
+                        # near-GT detection (stresses the claim rule);
+                        # sometimes EXACT duplicates with tied scores
+                        base = gt[rng.randint(len(gt))][2]
+                        jitter = (rng.randn(4) * (0 if rng.rand() < 0.3
+                                                  else 4))
+                        box = base + jitter.astype(np.float32)
+                    else:
+                        x1, y1 = rng.rand(2) * 50
+                        w, h = rng.rand(2) * 40 + 5
+                        box = np.asarray([x1, y1, x1 + w, y1 + h],
+                                         np.float32)
+                    score = round(float(rng.rand()), 1)   # force score ties
+                    dets.append(((v, f), rng.randint(C), score, box))
+        thr = [0.0, 0.3, 0.5][trial % 3]
+        ref = loop_match(dets, gt, C, thr)
+        new = match_detections(dets, gt, C, thr)
+        np.testing.assert_array_equal(ref["num_gt"], new["num_gt"])
+        for cls in range(C):
+            np.testing.assert_array_equal(ref["matched"][cls][0],
+                                          new["matched"][cls][0])
+            np.testing.assert_array_equal(ref["matched"][cls][1],
+                                          new["matched"][cls][1])
+
+
+def test_vectorized_dedupe_parity_fuzz():
+    """dedupe_frame_detections (vectorized) == the former per-detection
+    dict pass, including output ORDER (first-occurrence) and tie rule
+    (earliest max score wins), fuzzed with exact-duplicate boxes, tied
+    scores, and near-misses straddling the 0.1px rounding grid."""
+    from step_tpu.evaluate import dedupe_frame_detections
+
+    def dict_dedupe(detections):
+        best = {}
+        for fkey, c, s, box in detections:
+            k = (fkey, c, tuple(np.round(box, 1)))
+            if k not in best or best[k][2] < s:
+                best[k] = (fkey, c, s, box)
+        return list(best.values())
+
+    rng = np.random.RandomState(3)
+    for trial in range(5):
+        dets = []
+        for _ in range(rng.randint(0, 400)):
+            fkey = (f"v{rng.randint(3)}", int(rng.randint(1, 6)))
+            c = int(rng.randint(3))
+            box = (rng.rand(4) * 40).astype(np.float32)
+            if dets and rng.rand() < 0.5:
+                # revisit an existing detection's box exactly or nearly
+                box = np.asarray(dets[rng.randint(len(dets))][3],
+                                 np.float32)
+                if rng.rand() < 0.5:
+                    box = box + np.float32(0.04)   # same 0.1px cell (often)
+            s = round(float(rng.rand()), 1)        # force score ties
+            dets.append((fkey, c, s, box))
+        ref = dict_dedupe(dets)
+        out = dedupe_frame_detections(dets)
+        assert len(ref) == len(out)
+        for (ka, ca, sa, ba), (kb, cb, sb, bb) in zip(ref, out):
+            assert (ka, ca, sa) == (kb, cb, sb)
+            np.testing.assert_array_equal(ba, bb)
