@@ -309,3 +309,53 @@ def load_i3d_into_detector(detector_vars, i3d_vars, cfg, strict: bool = True):
         for a, b in zip(ref_p, new_p):
             assert a.shape == jnp.shape(b), (a.shape, jnp.shape(b))
     return {"params": params, "batch_stats": stats}
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """A .pt/.pth file → flat {key: np.ndarray} state dict.
+
+    Unwraps the containers public releases ship ({'state_dict': ...},
+    {'model': ...}, a bare OrderedDict) and detaches every tensor to
+    numpy. Naming normalization happens downstream
+    (`normalize_i3d_state_dict`), so any recognized public scheme works."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("state_dict", "model", "net"):
+        if isinstance(obj, dict) and key in obj and isinstance(
+                obj[key], dict):
+            obj = obj[key]
+    if not isinstance(obj, dict):
+        raise ValueError(f"{path}: expected a state-dict-like mapping, got "
+                         f"{type(obj).__name__}")
+    out = {}
+    for k, v in obj.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        if isinstance(v, np.ndarray):
+            out[k] = v
+    if not out:
+        raise ValueError(f"{path}: no tensors found in checkpoint")
+    return out
+
+
+def pretrained_detector_variables(detector_vars, path: str, cfg,
+                                  verbose: bool = True):
+    """One call: torch I3D checkpoint FILE → detector variables with the
+    Kinetics backbone loaded (reference ``BaseNet.__init__`` pretrained
+    init (recon)). train.py's --pretrained-i3d surface.
+
+    Prints the normalizer's scheme/missing/unused report when `verbose`
+    (the dry-run report — a wrong-architecture file fails loudly here,
+    before any training step)."""
+    sd = load_torch_checkpoint(path)
+    _, report = normalize_i3d_state_dict(sd)
+    if verbose:
+        print(f"pretrained I3D: scheme={report['scheme']!r} "
+              f"mapped={len(report['mapped'])} "
+              f"missing={len(report['missing'])} "
+              f"ignored={len(report['ignored'])}")
+        if report["missing"]:
+            print(f"  missing (first 5): {report['missing'][:5]}")
+    i3d = convert_torch_i3d(sd, include_logits=False)
+    return load_i3d_into_detector(detector_vars, i3d, cfg)

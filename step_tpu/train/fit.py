@@ -124,6 +124,11 @@ def fit(
     # vs 1.46 WITH prefetch — the extra resident buffer only adds
     # overhead). Default off; flip on for PCIe/direct-attached hosts.
     prefetch_upload: bool = False,
+    # Path to a Kinetics-pretrained torch I3D checkpoint (.pt/.pth, any
+    # naming normalize_i3d_state_dict recognizes): converted and loaded
+    # into the backbone before training (reference BaseNet.__init__
+    # pretrained init (recon)); a --resume checkpoint still wins.
+    pretrained_i3d: Optional[str] = None,
 ):
     """Train `cfg` on `loader` (a DataLoader). Returns the final TrainState."""
     model = model or STEPDetector(cfg)
@@ -145,6 +150,18 @@ def fit(
             n -= 1
         mesh = create_mesh((n,), cfg.mesh_axes)
     state = create_train_state(cfg, jax.random.PRNGKey(seed), model)
+    if pretrained_i3d:
+        from step_tpu.models.convert import pretrained_detector_variables
+
+        loaded = pretrained_detector_variables(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            pretrained_i3d, cfg)
+        # fresh optimizer moments for the pretrained start (the moment
+        # trees were init'ed on the random params)
+        state = state.replace(params=loaded["params"],
+                              batch_stats=loaded["batch_stats"],
+                              opt_state=state.tx.init(loaded["params"]))
+        print(f"initialized backbone from {pretrained_i3d}", flush=True)
     state = jax.device_put(state, replicated_sharding(mesh))
     start_epoch, start_batch = 0, 0
     if resume and ckpt_dir:

@@ -1,5 +1,6 @@
 """Weight converter: torch-naming state_dict → flax trees, conv parity."""
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -301,3 +302,78 @@ def test_convert_biasless_classifier_gets_zero_bias():
     kernel = np.asarray(out["params"]["logits"]["kernel"])
     assert bias.shape == (kernel.shape[-1],)
     np.testing.assert_array_equal(bias, 0.0)
+
+
+def test_load_torch_checkpoint_file_and_pretrained_helper(tmp_path):
+    """The one-command pretrained path (train.py --pretrained-i3d): a
+    saved .pt file (wrapped in a {'state_dict': ...} container, like the
+    public releases) loads, converts, and lands in the detector's
+    stem/tail subtrees — and fails loudly on a non-I3D file."""
+    torch = pytest.importorskip("torch")
+
+    from step_tpu.models.convert import (load_torch_checkpoint,
+                                         pretrained_detector_variables)
+
+    sd = make_fake_torch_i3d(num_classes=7)
+    path = str(tmp_path / "fake_i3d.pt")
+    torch.save({"state_dict": {k: torch.from_numpy(np.asarray(v))
+                               for k, v in sd.items()}}, path)
+
+    loaded_sd = load_torch_checkpoint(path)
+    assert "logits.conv3d.weight" in loaded_sd
+
+    cfg = StepConfig(
+        dataset="ucf101_24", num_classes=4, frames_per_chunk=2,
+        num_chunks=1, num_steps=2, iou_thresholds=(0.4, 0.5),
+        step_loss_weights=(1.0, 1.0), temporal_extension=False,
+        image_size=64, max_proposals=12, compute_dtype="float32",
+    )
+    model = STEPDetector(cfg)
+    rgb = jnp.zeros((1, cfg.total_frames, 64, 64, 3))
+    props, _ = STEPDetector.initial_proposals(cfg, 1)
+    variables = model.init(jax.random.PRNGKey(0), rgb, props)
+    out = pretrained_detector_variables(variables, path, cfg, verbose=False)
+    # the stem conv kernel is the checkpoint's, transposed OIDHW -> DHWIO
+    want = np.transpose(np.asarray(sd["Conv3d_1a_7x7.conv3d.weight"]),
+                        (2, 3, 4, 1, 0))
+    got = np.asarray(
+        out["params"]["features"]["stem_rgb"]["Conv3d_1a_7x7"]["conv"]
+           ["kernel"])
+    np.testing.assert_allclose(got, want)
+    # per-step tails stacked S times along the scan axis
+    tail_kernel = jax.tree_util.tree_leaves(
+        out["params"]["steps"]["head"]["tail"])[0]
+    assert jnp.shape(tail_kernel)[0] == cfg.num_steps
+
+    bad = str(tmp_path / "not_i3d.pt")
+    torch.save({"state_dict": {"fc.weight": torch.zeros(3, 3)}}, bad)
+    with pytest.raises(KeyError, match="unrecognized I3D"):
+        pretrained_detector_variables(variables, bad, cfg, verbose=False)
+
+
+def test_kinetics_drill_cli(tmp_path):
+    """scripts/kinetics_drill.py end-to-end on a saved oracle checkpoint:
+    prints the scheme report, passes activation parity, exits 0."""
+    torch = pytest.importorskip("torch")
+    import subprocess
+    import sys
+
+    from tests._torch_i3d import TorchI3D, randomize_bn_stats
+
+    torch.manual_seed(3)
+    net = TorchI3D(num_classes=11)
+    randomize_bn_stats(net, seed=4)
+    path = str(tmp_path / "oracle.pt")
+    torch.save(net.state_dict(), path)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "kinetics_drill.py"),
+         "--checkpoint", path],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=900)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "scheme='nested'" in proc.stdout
+    assert proc.stdout.count("[OK]") == 3
+    assert "backbone loaded" in proc.stdout

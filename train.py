@@ -30,6 +30,12 @@ def parse_args():
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--log-dir", default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--pretrained-i3d", default=None,
+                   help="Kinetics-pretrained torch I3D checkpoint "
+                        "(.pt/.pth; piergiaj/hassony2/DataParallel namings "
+                        "accepted) — converted and loaded into the "
+                        "backbone before training. Validate a file first "
+                        "with scripts/kinetics_drill.py")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: bootstrap jax.distributed (coordinator "
@@ -212,6 +218,7 @@ def main():
         seed=args.seed,
         eval_fn=eval_fn,
         eval_every_epochs=args.eval_every_epochs or 1,
+        pretrained_i3d=args.pretrained_i3d,
     )
 
 
