@@ -115,6 +115,11 @@ def main():
     t0 = time.perf_counter()
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # full axon bypass (CLAUDE.md): CPU compiles run locally instead of
+    # through the relay's remote-compile service, so a rehearsal never
+    # contends with chip work running in parallel
+    for var in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE"):
+        env.pop(var, None)
     if not args.no_sharded:
         # --sharded fidelity on the 1-chip/CPU host: 8 virtual XLA host
         # devices (no real parallelism on 1 core, but the GSPMD path runs)
