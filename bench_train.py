@@ -103,6 +103,10 @@ def main():
     ap.add_argument("--donate-batch", action="store_true",
                     help="also donate the batch buffers to the step "
                          "(each uploaded batch is consumed exactly once)")
+    ap.add_argument("--iters", type=int, default=None,
+                    help="timed steps (default: 10, auto-reduced for "
+                         "large batches to cap resident input HBM at "
+                         "~2 GB)")
     args = ap.parse_args()
     cfg = PRESETS["ucf_3step"].replace(batch_size=args.batch,
                                        scan_unroll=args.unroll,
@@ -131,8 +135,18 @@ def main():
     rng = jax.random.PRNGKey(1)
 
     # ---- device-chained step throughput over distinct uploaded batches ----
-    _phase("making host batches")
-    host_batches = make_batches(cfg, ITERS + 1)
+    # Every timed step needs a DISTINCT resident batch (relay memoization,
+    # module docstring), so HBM pays (iters+1) x batch bytes up front. At
+    # B=128/224px that is 332 MB/batch — 11 resident batches (3.7 GB) OOM'd
+    # a program whose own footprint fits, so large-batch arms scale the
+    # step count down to cap input residency at ~2 GB (still >= 4 timed
+    # steps; the JSON carries the actual count as "timed_steps").
+    batch_bytes = int(cfg.batch_size * cfg.total_frames
+                      * cfg.image_size * cfg.image_size * 3
+                      * (1 if cfg.uint8_transfer else 4))
+    iters = args.iters or max(4, min(ITERS, int(2e9 // max(batch_bytes, 1)) - 1))
+    _phase(f"making host batches ({iters} timed steps)")
+    host_batches = make_batches(cfg, iters + 1)
     _phase("uploading batches")
     dev_batches = [make_global_batch(
         {k: v for k, v in b.items() if k != "meta"}, mesh)
@@ -160,7 +174,7 @@ def main():
     state, m = pstep(state, dev_batches[-1], rng)   # compile + settle
     _ = float(m["loss"])                             # real value readback
     compile_s = time.time() - t0
-    _phase(f"compiled in {compile_s:.1f}s; timing {ITERS} steps")
+    _phase(f"compiled in {compile_s:.1f}s; timing {iters} steps")
 
     # Per-step VALUE readbacks: the relay acks block_until_ready early and
     # stalls pathologically on deep dispatch queues (measured 52-106 s/step
@@ -168,7 +182,7 @@ def main():
     # The readback round-trip adds ~ms against ~1s steps; drop the first
     # two steps (they absorb the still-in-flight batch uploads).
     times = []
-    for i in range(ITERS):
+    for i in range(iters):
         t0 = time.time()
         state, metrics = pstep(state, dev_batches[i], rng)
         _ = float(metrics["loss"])
@@ -193,8 +207,12 @@ def main():
     mfu = None
     try:
         bref = min(cfg.batch_size, 16)
+        # grad_accum_steps=1: the micro-batch accumulation scan is ALSO a
+        # lax.scan cost_analysis counts once — the accum-free program at
+        # the same (reference) batch has identical USEFUL FLOPs, and the
+        # linear batch scaling below recovers the effective batch's count
         ucfg = cfg.replace(scan_unroll=True, remat_steps=False,
-                           batch_size=bref)
+                           batch_size=bref, grad_accum_steps=1)
         upstep = make_parallel_train_step(ucfg, STEPDetector(ucfg), mesh)
 
         def _ref_leaf(x):
@@ -261,6 +279,7 @@ def main():
         "value": round(clips_per_sec, 2),
         "unit": "clips/s",
         "step_ms": round(dt * 1000, 1),
+        "timed_steps": iters,
         "mfu": round(mfu, 4) if mfu is not None else None,
         "fit_clips_per_sec": round(fit_cps, 2) if fit_cps else None,
         "fit_step_ms": round(1000 * cfg.batch_size / fit_cps, 1) if fit_cps else None,
