@@ -73,7 +73,7 @@ def main():
                          "(0 = compiler defaults), in the same warmed "
                          "process as the shipped program. The shipped B=1 "
                          "program uses compile_opts.SERVING_VMEM_LIMIT_KIB "
-                         "(90112) — measured in-context on this exact "
+                         "— measured in-context on this exact "
                          "program/batch: chained mean 6.11 vs 6.39 ms at "
                          "65536 vs 6.45 default (r4, .sweeps/"
                          "bench_latvmem{,90}_r4.out)."
@@ -237,9 +237,10 @@ def main():
                 float(np.mean(lats_ms) - chained * 1000.0))
 
     # Headline p50/p90 come from the SHIPPED latency program: scoped VMEM
-    # compile_opts.SERVING_VMEM_LIMIT_KIB (90112), measured in-context on
-    # this exact program/batch (r4 A/Bs: chained mean 6.11 ms at 90112 vs
-    # 6.39 at 65536 vs 6.45-6.48 default; p50 31.9 at 90112 vs 41.2 —
+    # compile_opts.SERVING_VMEM_LIMIT_KIB (the single source of truth for
+    # the value), measured in-context on this exact program/batch (r4
+    # A/Bs: chained mean 6.11 ms at the shipped value vs
+    # 6.39 at 65536 vs 6.45-6.48 default; p50 31.9 shipped vs 41.2 —
     # .sweeps/bench_latvmem{,90}_r4.out; the per-program rule is
     # satisfied). The --latency-vmem-kib arm measures a second compile
     # (0 = compiler defaults) in the SAME warmed process (CLAUDE.md: only
@@ -283,6 +284,14 @@ def main():
         "p90_latency_ms": round(p90_ms, 2),
         "latency_chained_mean_ms": round(lat_chained_ms, 2),
         "latency_readback_overhead_ms": round(readback_overhead_ms, 2),
+        # Field-semantics note carried in the artifact (r3 -> r4 change):
+        # p50/p90 are TRUE per-request end-to-end percentiles through the
+        # relay (each iter does a value readback) since r4; r3 artifacts'
+        # p50 was the chained-mean proxy. Cross-round latency comparisons
+        # must use latency_chained_mean_ms, which kept its meaning.
+        "latency_semantics": "p50/p90: end-to-end per-request incl. relay"
+                             " readback (since r4; r3 p50 = chained mean)."
+                             " Compare rounds via latency_chained_mean_ms.",
         "batch": BATCH,
         # None = options not applicable (CPU); False = the backend REJECTED
         # the scoped-VMEM option and value/p50 came from default-compiled

@@ -144,7 +144,14 @@ def main():
     batch_bytes = int(cfg.batch_size * cfg.total_frames
                       * cfg.image_size * cfg.image_size * 3
                       * (1 if cfg.uint8_transfer else 4))
-    iters = args.iters or max(4, min(ITERS, int(2e9 // max(batch_bytes, 1)) - 1))
+    if args.iters is None:
+        iters = max(4, min(ITERS, int(2e9 // max(batch_bytes, 1)) - 1))
+    elif args.iters < 3:
+        # the first 2 timed steps are discarded as settle (np.mean(times[2:])
+        # would be NaN) — reject rather than emit an invalid JSON record
+        ap.error("--iters must be >= 3 (steps 1-2 are discarded as settle)")
+    else:
+        iters = args.iters
     _phase(f"making host batches ({iters} timed steps)")
     host_batches = make_batches(cfg, iters + 1)
     _phase("uploading batches")

@@ -44,10 +44,10 @@ def parse_args():
                         "xla_tpu_scoped_vmem_limit_kib=<N> (0 = compiler "
                         "defaults, i.e. skip the measured serving option). "
                         "The shipped/measured value is compile_opts."
-                        "SERVING_VMEM_LIMIT_KIB (90112: +13.3%% on the "
-                        "optimized B=128 program, r4 sweep) but 98304 "
-                        "regressed 3.3x — opt in per measured batch/"
-                        "program only (see utils/compile_opts.py)")
+                        "SERVING_VMEM_LIMIT_KIB (+13.3%% on the optimized "
+                        "B=128 program, r4 sweep) but 98304 regressed "
+                        "3.3x — opt in per measured batch/program only "
+                        "(see utils/compile_opts.py)")
     p.add_argument("--fast-tiling", action="store_true",
                    help="detect on NON-overlapping total_frames windows "
                         "(3x fewer clips) instead of the eval ownership "
@@ -69,6 +69,32 @@ def _video_dirs(root):
     subdirs = [os.path.join(root, e) for e in entries
                if os.path.isdir(os.path.join(root, e))]
     return subdirs if subdirs else [root]
+
+
+def _sliding_windows(F, cfg):
+    """Eval-ownership tiling math for an F-frame video: (idx [L, T] clamped
+    0-based frame indices, owned [F] bool).
+
+    Mirrors `UCFDataset.clip_frame_indices` over centers `start + fpc//2`
+    (starts stride by one chunk) and `evaluate.collect_detections`'
+    owned_fkeys: a frame is owned iff some clip's CENTRAL chunk actually
+    covers it — derived from the clips' real (clamped) indices rather than
+    the arithmetic `start : start+fpc`. With the config-enforced odd
+    num_chunks the two coincide (the central chunk covers exactly
+    start..start+fpc-1); deriving from the indices keeps ownership correct
+    by construction should that constraint ever relax (even num_chunks
+    shifts central positions to start-1..start+fpc-2, where the geometric
+    form wrongly owns the last frame and drops its extension detections)."""
+    import numpy as np
+
+    fpc, T = cfg.frames_per_chunk, cfg.total_frames
+    starts = np.arange(0, max(F - fpc + 1, 1), fpc)
+    offsets = np.arange(T) - T // 2
+    idx = np.clip(starts[:, None] + fpc // 2 + offsets[None, :], 0, F - 1)
+    tc0 = (T - fpc) // 2
+    owned = np.zeros(F, bool)
+    owned[idx[:, tc0 : tc0 + fpc].ravel()] = True
+    return idx, owned
 
 
 def _load_clips(frames_dir, cfg, fast_tiling=False):
@@ -115,16 +141,9 @@ def _load_clips(frames_dir, cfg, fast_tiling=False):
         raise SystemExit("the serve ownership protocol requires "
                          f"temporal_stride == 1 (got {cfg.temporal_stride});"
                          " use --fast-tiling for strided programs")
-    fpc = cfg.frames_per_chunk
     frames = np.stack(frames)
-    starts = np.arange(0, max(F - fpc + 1, 1), fpc)
-    offsets = np.arange(T) - T // 2
-    idx = np.clip(starts[:, None] + fpc // 2 + offsets[None, :], 0, F - 1)
-    clips = frames[idx]
-    owned = np.zeros(F, bool)
-    for s in starts:
-        owned[s : s + fpc] = True   # geometric central-chunk ownership
-    return clips, idx, owned
+    idx, owned = _sliding_windows(F, cfg)
+    return frames[idx], idx, owned
 
 
 def serve_video(run, variables, cfg, clips, idx, owned, props, pmask, B,
@@ -213,16 +232,18 @@ def main():
 
     with open(args.program, "rb") as f:
         blob = f.read()
-    run = load_detect_fn(blob)
+    # deserialize ONCE; the callable and the input-spec check share it
+    from step_tpu.utils.export import _as_exported, detect_fn_input_specs
+
+    exported = _as_exported(blob)
+    run = load_detect_fn(exported)
     print(f"loaded program {args.program} "
           f"({os.path.getsize(args.program)} bytes)", flush=True)
 
     # The program's input spec is frozen at export time; a wire-format
     # mismatch (pre-r3 float32-spec artifacts vs today's quantized default)
     # would otherwise surface as an opaque dtype error at the first batch.
-    from step_tpu.utils.export import detect_fn_input_specs
-
-    rgb_spec = detect_fn_input_specs(blob)[0]
+    rgb_spec = detect_fn_input_specs(exported)[0]
     want = "uint8" if cfg.uint8_transfer else "float32"
     if str(rgb_spec.dtype) != want:
         flip = not cfg.uint8_transfer

@@ -255,8 +255,13 @@ def spatio_temporal_iou(
     # _iou_1vsN loop cost ~0.3 ms/pair at 125-frame tubes — this runs per
     # (pred, GT) tube pair at dataset scale)
     fs = sorted(inter_frames)
-    a = np.asarray([tube_a[f] for f in fs], np.float32)
-    bb = np.asarray([tube_b[f] for f in fs], np.float32)
+    # np.stack of per-frame np.asarray, NOT np.asarray(list, float32): the
+    # per-pair loop this replaces computed each frame's IoU in the boxes'
+    # OWN dtype — forcing f32 here would silently downcast f64 tubes and
+    # drift s_iou by ~1e-7, enough to flip a >=threshold video-mAP match
+    # (bit-for-bit fuzz test: tests/test_eval.py)
+    a = np.stack([np.asarray(tube_a[f]) for f in fs])
+    bb = np.stack([np.asarray(tube_b[f]) for f in fs])
     lt = np.maximum(a[:, :2], bb[:, :2])
     rb = np.minimum(a[:, 2:], bb[:, 2:])
     inter = np.prod(np.maximum(rb - lt, 0), axis=1)

@@ -495,6 +495,14 @@ def make_parallel_detect_fn(cfg: StepConfig, mesh,
     """
     from step_tpu.parallel.mesh import batch_sharding, replicated_sharding
 
+    # memoized on (cfg, mesh) — same hazard _STREAM_FN_CACHE names: jit's
+    # trace cache keys on function identity, so a fresh closure per eval
+    # (collect_detections AND collect_video_tubes both call this) would
+    # retrace the full program each time. A caller-supplied model bypasses
+    # the cache (its identity isn't part of the key).
+    if model is None and (cfg, mesh) in _PAR_FN_CACHE:
+        return _PAR_FN_CACHE[(cfg, mesh)]
+    cacheable = model is None
     model = model or STEPDetector(cfg)
     repl = replicated_sharding(mesh)
     bsh = batch_sharding(mesh)
@@ -521,7 +529,12 @@ def make_parallel_detect_fn(cfg: StepConfig, mesh,
             return detect_clip(variables, rgb, proposals, prop_mask, cfg,
                                model)
 
+    if cacheable:
+        _PAR_FN_CACHE[(cfg, mesh)] = _detect
     return _detect
+
+
+_PAR_FN_CACHE: dict = {}
 
 
 def make_parallel_late_fusion_detect_fn(cfg: StepConfig, mesh):
@@ -530,9 +543,14 @@ def make_parallel_late_fusion_detect_fn(cfg: StepConfig, mesh):
     two-stream ``test.py`` path also runs under ``nn.DataParallel``
     (recon)). Both streams' variables replicate; rgb/flow/proposals/
     prop_mask shard their batch dim over 'data'. Like the single-stream
-    DP program, GSPMD inserts no collectives (per-clip independent)."""
+    DP program, GSPMD inserts no collectives (per-clip independent).
+    Memoized on (cfg, mesh) like make_parallel_detect_fn / _LF_FN_CACHE —
+    a fresh jitted closure per eval would retrace the two-stream fusion
+    program every epoch."""
     from step_tpu.parallel.mesh import batch_sharding, replicated_sharding
 
+    if (cfg, mesh) in _PAR_LF_FN_CACHE:
+        return _PAR_LF_FN_CACHE[(cfg, mesh)]
     repl = replicated_sharding(mesh)
     bsh = batch_sharding(mesh)
 
@@ -545,7 +563,11 @@ def make_parallel_late_fusion_detect_fn(cfg: StepConfig, mesh):
         return detect_clip_late_fusion(v_rgb, v_flow, rgb, flow,
                                        proposals, prop_mask, cfg)
 
+    _PAR_LF_FN_CACHE[(cfg, mesh)] = _detect_lf
     return _detect_lf
+
+
+_PAR_LF_FN_CACHE: dict = {}
 
 
 def pad_batch_to(arr: np.ndarray, multiple: int) -> np.ndarray:

@@ -207,7 +207,15 @@ def train_step(state: TrainState, batch: dict, rng: jax.Array,
             _body, init, (micro, drngs))
         inv = 1.0 / accum
         scale = lambda t: jax.tree_util.tree_map(lambda x: x * inv, t)
-        grads, metrics = scale(g_sum), scale(m_sum)
+        grads = scale(g_sum)
+        # mean-semantics metrics (losses) scale by 1/k so they match the
+        # equivalent one-big-step values; SUM-semantics metrics keep the
+        # sum over all k micro-batches (num_positive_per_step counts
+        # matched positives across the EFFECTIVE batch — averaging would
+        # report k-fold fewer positives than an accum=1 step on the same
+        # effective batch).
+        metrics = {k: (v if k == "num_positive_per_step" else v * inv)
+                   for k, v in m_sum.items()}
         # mean of the k one-step updates == the one-big-step update for
         # running means (linear in the batch statistic); see config note.
         new_bs = scale(bs_sum)

@@ -105,21 +105,28 @@ def export_detect_fn(
     return bytes(exported.serialize())   # serialize() returns a bytearray
 
 
-def load_detect_fn(blob: bytes):
-    """Deserialize an exported detect program into a callable
-    ``(variables, rgb, proposals, prop_mask) -> detections dict``."""
-    exported = jax_export.deserialize(blob)
-    return jax.jit(exported.call)
+def _as_exported(blob):
+    """bytes -> Exported (pass an already-deserialized Exported through:
+    serve.py needs both the callable and the input specs and should pay
+    the StableHLO deserialization once, not once per helper)."""
+    return jax_export.deserialize(blob) if isinstance(blob, bytes) else blob
 
 
-def detect_fn_input_specs(blob: bytes):
-    """(rgb, proposals, prop_mask) avals of an exported detect program.
+def load_detect_fn(blob):
+    """Deserialize an exported detect program (bytes or Exported) into a
+    callable ``(variables, rgb, proposals, prop_mask) -> detections dict``."""
+    return jax.jit(_as_exported(blob).call)
+
+
+def detect_fn_input_specs(blob):
+    """(rgb, proposals, prop_mask) avals of an exported detect program
+    (bytes or Exported).
 
     The wire dtype is frozen into the artifact at export time
     (`_detect_arg_specs` follows cfg.uint8_transfer), so a serving process
     can check its config's wire format against the blob BEFORE the first
     batch instead of surfacing an opaque dtype error mid-serve."""
-    exported = jax_export.deserialize(blob)
+    exported = _as_exported(blob)
     args, _kwargs = jax.tree.unflatten(exported.in_tree, exported.in_avals)
     _variables, rgb, props, mask = args
     return rgb, props, mask

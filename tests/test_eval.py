@@ -286,3 +286,47 @@ def test_vectorized_dedupe_parity_fuzz():
         for (ka, ca, sa, ba), (kb, cb, sb, bb) in zip(ref, out):
             assert (ka, ca, sa) == (kb, cb, sb)
             np.testing.assert_array_equal(ba, bb)
+
+
+def test_vectorized_tube_iou_parity_fuzz():
+    """spatio_temporal_iou (one vectorized IoU over the intersection
+    frames) == the former per-frame _iou_1vsN loop bit-for-bit, in BOTH
+    float32 and float64 — the vectorization must compute in the boxes' own
+    dtype (a forced f32 cast drifts f64 tubes by ~1e-7, enough to flip a
+    >=threshold video-mAP match), fuzzed over partial/complete/empty
+    temporal overlap and degenerate boxes."""
+    from step_tpu.eval.detection_metrics import _iou_1vsN, spatio_temporal_iou
+
+    def loop_iou(tube_a, tube_b):
+        # the pre-round-5 implementation, verbatim
+        frames_a, frames_b = set(tube_a), set(tube_b)
+        inter_frames = frames_a & frames_b
+        union_frames = frames_a | frames_b
+        if not inter_frames:
+            return 0.0
+        t_iou = len(inter_frames) / len(union_frames)
+        s_iou = np.mean(
+            [float(_iou_1vsN(np.asarray(tube_a[f]),
+                             np.asarray(tube_b[f])[None])[0])
+             for f in sorted(inter_frames)]
+        )
+        return float(t_iou * s_iou)
+
+    rng = np.random.RandomState(7)
+    for trial in range(8):
+        dtype = np.float32 if trial % 2 else np.float64
+        def tube(start, length):
+            out = {}
+            for f in range(start, start + length):
+                x1, y1 = rng.rand(2) * 50
+                w, h = rng.rand(2) * 40   # w/h may be ~0 (degenerate box)
+                out[f] = np.asarray([x1, y1, x1 + w, y1 + h], dtype)
+            return out
+        a = tube(rng.randint(0, 5), rng.randint(1, 30))
+        b = tube(rng.randint(0, 40), rng.randint(1, 30))
+        got, want = spatio_temporal_iou(a, b), loop_iou(a, b)
+        assert got == want, (trial, got, want)
+        # identical tubes: exact 1.0; disjoint: exact 0.0
+        assert spatio_temporal_iou(a, dict(a)) == 1.0
+        far = {f + 1000: v for f, v in b.items()}
+        assert spatio_temporal_iou(a, far) == 0.0

@@ -96,37 +96,36 @@ def mini_ucf3(tmp_path_factory):
     return root
 
 
-def test_load_clips_matches_dataset_tiling():
-    """serve._load_clips' sliding-window indices == the dataset's
-    clip_frame_indices over the sampled centers, and ownership == the
-    union of central chunks."""
-    import serve
+@pytest.mark.parametrize("fpc,chunks", [(2, 3), (3, 3), (5, 3), (3, 5),
+                                        (6, 3)])
+def test_sliding_windows_matches_eval_ownership(fpc, chunks):
+    """serve._sliding_windows == the dataset's clip_frame_indices over the
+    sampled centers, and ownership == evaluate.collect_detections'
+    owned_fkeys (brute-force union over the clips' real central-chunk
+    indices — the by-construction form; the config's odd-num_chunks
+    invariant is what makes the arithmetic start:start+fpc equivalent,
+    so ownership is derived from the indices, not that arithmetic).
+    Odd-fpc geometries included."""
+    from serve import _sliding_windows
 
-    cfg = _tiny3_cfg()
-    fpc, T = cfg.frames_per_chunk, cfg.total_frames
+    cfg = _tiny3_cfg().replace(frames_per_chunk=fpc, num_chunks=chunks)
+    T = cfg.total_frames
+    offsets = np.arange(T) - T // 2
+    tc0 = (T - fpc) // 2
     for F in (3, 7, 8, 11, 24):   # shorter-than-window through long
+        idx, owned = _sliding_windows(F, cfg)
         starts = np.arange(0, max(F - fpc + 1, 1), fpc)
-        offsets = np.arange(T) - T // 2
-        want_idx = np.clip(starts[:, None] + fpc // 2 + offsets[None, :],
-                           0, F - 1)
-        # the dataset's per-center math, element-for-element
-        # (UCFDataset.clip_frame_indices: clip(center + (t - T//2), 0, n-1))
+        assert idx.shape == (len(starts), T)
+        want_owned = np.zeros(F, bool)
         for li, s in enumerate(starts):
-            center = s + fpc // 2
-            ds_idx = np.clip(center + offsets, 0, F - 1)
-            np.testing.assert_array_equal(want_idx[li], ds_idx)
-        owned = np.zeros(F, bool)
-        for s in starts:
-            owned[s : s + fpc] = True
-        # _load_clips needs real JPEGs; replicate only its tiling section
-        # here (the decode is covered by the CLI test below). Assert the
-        # module computes the same arrays by calling through a frames dir:
-        # done in test_serve_matches_test_cli; here pin the math contract.
-        tc0 = (T - fpc) // 2
-        # every central position of every clip maps into owned
-        for li, s in enumerate(starts):
+            # the dataset's per-center math, element-for-element
+            # (UCFDataset.clip_frame_indices: clip(center + (t-T//2), 0, n-1))
+            ds_idx = np.clip(s + fpc // 2 + offsets, 0, F - 1)
+            np.testing.assert_array_equal(idx[li], ds_idx)
+            # evaluate.collect_detections' owned_fkeys semantics
             for t in range(tc0, tc0 + fpc):
-                assert owned[want_idx[li, t]]
+                want_owned[ds_idx[t]] = True
+        np.testing.assert_array_equal(owned, want_owned)
 
 
 def test_serve_matches_test_cli(mini_ucf3, tmp_path):

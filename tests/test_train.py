@@ -454,6 +454,11 @@ def test_grad_accum_identical_micro_batches_exact():
                                rtol=1e-6)
     np.testing.assert_allclose(float(m1["grad_norm"]),
                                float(m2["grad_norm"]), rtol=1e-5)
+    # SUM-semantics metric: positives counted over the EFFECTIVE batch —
+    # accumulation must sum micro-sums, not average them (an averaged
+    # count would read k-fold low vs the accum=1 step)
+    np.testing.assert_allclose(np.asarray(m1["num_positive_per_step"]),
+                               np.asarray(m2["num_positive_per_step"]))
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-6),
