@@ -226,6 +226,13 @@ class StepConfig:
     # Adam. The second moment stays f32 either way (it squares gradients —
     # bf16's 8 mantissa bits are too coarse for a running variance).
     adam_mu_dtype: str = "float32"      # "float32" | "bfloat16"
+    # AdamW moment STORAGE: "int8" keeps BOTH moments resident as int8
+    # blocks with per-256-element fp32 absmax scales (~2.03 bytes/param vs
+    # 8 — Dettmers et al. 2022, linear-quant variant; train/optim_int8.py).
+    # Update math stays fp32 (dequantize -> Adam -> requantize), so the
+    # quantization enters as a bounded state perturbation, not compounding
+    # arithmetic error. The single-chip HBM lever for larger real batches.
+    adam_moments: str = "float32"       # "float32" | "int8"
     # SSD-style hard-negative mining for the softmax cls loss: keep the
     # neg_pos_ratio hardest negatives per positive (0 disables → plain mean).
     neg_pos_ratio: float = 3.0
@@ -366,6 +373,13 @@ class StepConfig:
         if self.grad_accum_steps < 1:
             raise ValueError("grad_accum_steps must be >= 1, got "
                              f"{self.grad_accum_steps}")
+        if self.adam_moments not in ("float32", "int8"):
+            raise ValueError("adam_moments must be 'float32' or 'int8', "
+                             f"got {self.adam_moments!r}")
+        if self.adam_moments == "int8" and self.adam_mu_dtype != "float32":
+            raise ValueError("adam_moments='int8' stores mu as int8 blocks;"
+                             " the adam_mu_dtype knob does not apply — "
+                             "leave it 'float32'")
         if self.batch_size % self.grad_accum_steps:
             raise ValueError(
                 "batch_size (the EFFECTIVE batch) must divide into "

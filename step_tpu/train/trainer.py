@@ -77,6 +77,12 @@ def make_optimizer(cfg: StepConfig) -> optax.GradientTransformation:
             optax.add_decayed_weights(cfg.weight_decay),
             optax.sgd(schedule, momentum=cfg.momentum),
         )
+    elif cfg.adam_moments == "int8":
+        from step_tpu.train.optim_int8 import adamw_int8
+
+        # int8 blockwise moments: ~2.03 bytes/param resident optimizer
+        # state vs 8 (the single-chip HBM lever — see optim_int8.py)
+        opt = adamw_int8(schedule, weight_decay=cfg.weight_decay)
     else:
         opt = optax.adamw(schedule, weight_decay=cfg.weight_decay,
                           mu_dtype=jnp.dtype(cfg.adam_mu_dtype))
