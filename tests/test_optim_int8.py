@@ -157,3 +157,25 @@ def test_adam_moments_config_validation():
         CFG.replace(adam_moments="int4")
     with pytest.raises(ValueError, match="adam_mu_dtype"):
         CFG.replace(adam_moments="int8", adam_mu_dtype="bfloat16")
+
+
+def test_int8_opt_state_checkpoint_roundtrip(tmp_path):
+    """orbax save/restore preserves the int8/uint8 moment blocks and
+    scales exactly (resume must not perturb the quantized trajectory)."""
+    from tests.test_train import CFG, _accum_batch
+    from step_tpu.models.detector import STEPDetector
+    from step_tpu.train.trainer import create_train_state, train_step
+    from step_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    cfg = CFG.replace(adam_moments="int8", dropout_rate=0.0)
+    model = STEPDetector(cfg)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), model)
+    batch = _accum_batch(cfg, cfg.batch_size)
+    state, _ = train_step(state, batch, jax.random.PRNGKey(1), cfg, model)
+    save_checkpoint(str(tmp_path), state)
+    fresh = create_train_state(cfg, jax.random.PRNGKey(9), model)
+    restored, _ = restore_checkpoint(str(tmp_path), fresh)
+    for a, b in zip(jax.tree.leaves(state.opt_state),
+                    jax.tree.leaves(restored.opt_state)):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
