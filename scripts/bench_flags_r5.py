@@ -121,7 +121,22 @@ def main():
                     help="ALSO measure each candidate without the shipped "
                          "VMEM flag (diagnoses interactions; default off — "
                          "the shippable decision is composed-vs-shipped)")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip candidates whose composed arm already has a "
+                         "record (measured or rejected) in --out; a fresh "
+                         "baseline arm is still measured so relay drift "
+                         "across the resume boundary stays visible")
     args = ap.parse_args()
+
+    done = set()
+    if args.resume:
+        try:
+            with open(args.out) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    done.add(rec.get("arm", ""))
+        except FileNotFoundError:
+            pass
 
     detect, fargs, _cfg = build_program()
     res = open(args.out, "a")
@@ -166,6 +181,10 @@ def main():
     for i, cand in enumerate(candidates):
         name = next(iter(cand))
         tag = f"{name}={cand[name]}"
+        if f"composed:{tag}" in done:
+            print(f"resume: skipping composed:{tag} (already recorded)",
+                  flush=True)
+            continue
         composed = measure(f"composed:{tag}", {**SHIPPED, **cand})
         alone = (measure(f"alone:{tag}", dict(cand))
                  if args.alone and composed is not None else None)
