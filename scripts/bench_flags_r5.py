@@ -15,11 +15,24 @@ serving program:
      CLAUDE.md), interleaved against the SHIPPED baseline (scoped VMEM
      90112) so drift shows up as baseline spread.
 
+VERDICT r4 asks for the A/B on all THREE shipped programs; --program
+selects which one this run measures:
+  serving — B=128 optimized throughput program (default; baseline =
+            shipped scoped VMEM 90112);
+  latency — B=1 optimized program (same shipped baseline; the decision
+            metric is chained ms, lower is better);
+  train   — B=32 train step (baseline = compiler DEFAULTS: the r4 queue
+            measured scoped VMEM as noise-or-worse on this program, so
+            nothing is composed in). Train compiles cost 180-540 s each
+            through the relay's remote-compile service, so train runs use
+            --candidates to name a rationale-chosen shortlist.
+
 Every arm appends one JSON line to --out. Run serially on the chip — no
 other TPU process may run.
 
 Usage:
     python scripts/bench_flags_r5.py --out .sweeps/flags_r5.jsonl
+    python scripts/bench_flags_r5.py --program latency --out ...
     python scripts/bench_flags_r5.py --only xla_tpu_rwb_fusion=false
 """
 
@@ -77,7 +90,7 @@ CANDIDATES = [
 ]
 
 
-def build_program():
+def build_program(batch):
     cfg = PRESETS["ucf_3step"]
     variables = init_detector_cpu(cfg, jax.random.PRNGKey(0),
                                   STEPDetector(cfg))
@@ -86,9 +99,9 @@ def build_program():
     dev = jax.devices()[0]
     rng = np.random.RandomState(0)
     rgb = jax.device_put(
-        jnp.asarray(rng.rand(BATCH, cfg.total_frames, cfg.image_size,
+        jnp.asarray(rng.rand(batch, cfg.total_frames, cfg.image_size,
                              cfg.image_size, 3), jnp.float32), dev)
-    proposals, prop_mask = STEPDetector.initial_proposals(cfg, BATCH)
+    proposals, prop_mask = STEPDetector.initial_proposals(cfg, batch)
     proposals = jax.device_put(proposals, dev)
     prop_mask = jax.device_put(prop_mask, dev)
     variables = jax.device_put(variables, dev)
@@ -100,21 +113,76 @@ def build_program():
     return detect, (variables, rgb, proposals, prop_mask), cfg
 
 
-def chained_time(fn, variables, rgb, proposals, prop_mask):
+def chained_time(fn, variables, rgb, proposals, prop_mask, iters):
     out = fn(variables, rgb, proposals, prop_mask)
     _ = float(jnp.sum(out["tube_scores"]))          # warm + settle
     t0 = time.time()
     props = proposals
-    for _ in range(ITERS):
+    for _ in range(iters):
         out = fn(variables, rgb, props, prop_mask)
         props = out["tubes"]                        # data dependence
     _ = float(jnp.sum(out["tube_scores"]))          # ONE readback
-    return (time.time() - t0) / ITERS
+    return (time.time() - t0) / iters
+
+
+def build_train_measure(iters):
+    """Return (measure_builder) for the B=32 train step: each arm compiles
+    the SAME lowered step with its compiler_options and chains `iters`
+    steps over distinct pre-uploaded batches with per-step value readbacks
+    (bench_train.py's methodology — the relay memoizes identical dispatches
+    and stalls on deep readback-free queues; a loss VALUE cannot be faked).
+    """
+    from bench_train import make_batches
+    from step_tpu.parallel.distributed import make_global_batch
+    from step_tpu.parallel.mesh import create_mesh, replicated_sharding
+    from step_tpu.train.trainer import (create_train_state,
+                                        make_parallel_train_step)
+
+    cfg = PRESETS["ucf_3step"].replace(batch_size=32)
+    model = STEPDetector(cfg)
+    mesh = create_mesh((1,), cfg.mesh_axes)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        state0 = create_train_state(cfg, jax.random.PRNGKey(0), model)
+    state0 = jax.device_put(state0, replicated_sharding(mesh))
+    pstep = make_parallel_train_step(cfg, model, mesh)
+    rng = jax.random.PRNGKey(1)
+    host_batches = make_batches(cfg, iters + 1)
+    dev_batches = [make_global_batch(
+        {k: v for k, v in b.items() if k != "meta"}, mesh)
+        for b in host_batches]
+
+    def compile_arm(opts):
+        return pstep.lower(state0, dev_batches[-1], rng).compile(
+            compiler_options=opts)
+
+    def run_arm(fn):
+        s, m = fn(state0, dev_batches[-1], rng)     # settle
+        _ = float(m["loss"])
+        times = []
+        s = state0
+        for i in range(iters):
+            t0 = time.time()
+            s, m = fn(s, dev_batches[i], rng)
+            _ = float(m["loss"])                    # per-step value readback
+            times.append(time.time() - t0)
+        return float(np.mean(times[2:]))            # steps 1-2 absorb uploads
+
+    return compile_arm, run_arm, cfg.batch_size
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=".sweeps/flags_r5.jsonl")
+    ap.add_argument("--program", choices=["serving", "latency", "train"],
+                    default="serving",
+                    help="which shipped program to A/B (module docstring)")
+    ap.add_argument("--candidates", default=None,
+                    help="comma-separated flag NAMES restricting the "
+                         "candidate list (train shortlist)")
+    ap.add_argument("--iters", type=int, default=None,
+                    help="timed iterations per arm (default: 20 serving, "
+                         "30 latency, 8 train)")
     ap.add_argument("--only", default=None,
                     help="single name=value candidate instead of the list")
     ap.add_argument("--alone", action="store_true",
@@ -138,7 +206,33 @@ def main():
         except FileNotFoundError:
             pass
 
-    detect, fargs, _cfg = build_program()
+    # shipped-baseline options per program: serving and latency ship with
+    # the scoped-VMEM value; the train step ships on compiler defaults
+    # (scoped VMEM measured noise-or-worse there, VALIDATION r4 queue-v3)
+    shipped = {} if args.program == "train" else dict(SHIPPED)
+    if args.program == "train":
+        iters = args.iters or 8
+        train_compile, train_run, train_batch = build_train_measure(iters)
+
+        def compile_fn(opts):
+            return train_compile(opts)
+
+        def run_fn(fn):
+            return train_run(fn)
+
+        per_call = train_batch
+    else:
+        batch = 1 if args.program == "latency" else BATCH
+        iters = args.iters or (30 if args.program == "latency" else ITERS)
+        detect, fargs, _cfg = build_program(batch)
+
+        def compile_fn(opts):
+            return detect.lower(*fargs).compile(compiler_options=opts)
+
+        def run_fn(fn):
+            return chained_time(fn, *fargs, iters)
+
+        per_call = batch
     res = open(args.out, "a")
 
     def book(rec):
@@ -149,9 +243,10 @@ def main():
     def compile_arm(tag, opts):
         t0 = time.time()
         try:
-            fn = detect.lower(*fargs).compile(compiler_options=opts)
+            fn = compile_fn(opts)
         except Exception as e:  # noqa: BLE001 — rejection is a data point
             book({"arm": tag, "opts": opts, "rejected": True,
+                  "program": args.program,
                   "error": f"{type(e).__name__}: {str(e)[:200]}"})
             return None
         return fn, time.time() - t0
@@ -161,19 +256,26 @@ def main():
         if built is None:
             return None
         fn, compile_s = built
-        dt = chained_time(fn, *fargs)
-        clips = BATCH / dt
-        book({"arm": tag, "opts": opts, "chained_ms": round(dt * 1000, 2),
+        dt = run_fn(fn)
+        clips = per_call / dt
+        book({"arm": tag, "opts": opts, "program": args.program,
+              "chained_ms": round(dt * 1000, 2),
               "clips_per_sec": round(clips, 1),
               "compile_s": round(compile_s, 1)})
         return clips
 
     candidates = ([{args.only.split("=", 1)[0]: args.only.split("=", 1)[1]}]
                   if args.only else CANDIDATES)
+    if args.candidates:
+        names = set(args.candidates.split(","))
+        candidates = [c for c in candidates if next(iter(c)) in names]
+        unknown = names - {next(iter(c)) for c in CANDIDATES}
+        if unknown:
+            ap.error(f"--candidates names not in CANDIDATES: {unknown}")
 
     # interleaved baselines: shipped program first, re-measured midway and
     # at the end so relay drift is visible in the record
-    base = measure("baseline_shipped_vmem", dict(SHIPPED))
+    base = measure("baseline_shipped_vmem", dict(shipped))
     if base is None:
         print("shipped baseline failed to compile — aborting", flush=True)
         return
@@ -185,13 +287,13 @@ def main():
             print(f"resume: skipping composed:{tag} (already recorded)",
                   flush=True)
             continue
-        composed = measure(f"composed:{tag}", {**SHIPPED, **cand})
+        composed = measure(f"composed:{tag}", {**shipped, **cand})
         alone = (measure(f"alone:{tag}", dict(cand))
                  if args.alone and composed is not None else None)
         results.append((tag, alone, composed))
         if i == len(candidates) // 2:
-            measure("baseline_shipped_vmem_mid", dict(SHIPPED))
-    measure("baseline_shipped_vmem_end", dict(SHIPPED))
+            measure("baseline_shipped_vmem_mid", dict(shipped))
+    measure("baseline_shipped_vmem_end", dict(shipped))
 
     print("\n=== summary (clips/s; shipped baseline "
           f"{base:.1f}) ===", flush=True)
