@@ -151,21 +151,28 @@ def build_train_measure(iters):
     dev_batches = [make_global_batch(
         {k: v for k, v in b.items() if k != "meta"}, mesh)
         for b in host_batches]
+    # the train step DONATES the state (make_parallel_train_step's
+    # donate_argnums), so (a) lower from abstract avals — the concrete
+    # state0 buffers are deleted after the first arm's first call — and
+    # (b) thread the live state across arms instead of reusing state0
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+        (state0, dev_batches[-1], rng))
+    live = {"state": state0}
 
     def compile_arm(opts):
-        return pstep.lower(state0, dev_batches[-1], rng).compile(
-            compiler_options=opts)
+        return pstep.lower(*abstract).compile(compiler_options=opts)
 
     def run_arm(fn):
-        s, m = fn(state0, dev_batches[-1], rng)     # settle
+        s, m = fn(live["state"], dev_batches[-1], rng)   # settle
         _ = float(m["loss"])
         times = []
-        s = state0
         for i in range(iters):
             t0 = time.time()
             s, m = fn(s, dev_batches[i], rng)
             _ = float(m["loss"])                    # per-step value readback
             times.append(time.time() - t0)
+        live["state"] = s
         return float(np.mean(times[2:]))            # steps 1-2 absorb uploads
 
     return compile_arm, run_arm, cfg.batch_size
