@@ -125,7 +125,7 @@ def chained_time(fn, variables, rgb, proposals, prop_mask, iters):
     return (time.time() - t0) / iters
 
 
-def build_train_measure(iters):
+def build_train_measure(iters, smoke=False):
     """Return (measure_builder) for the B=32 train step: each arm compiles
     the SAME lowered step with its compiler_options and chains `iters`
     steps over distinct pre-uploaded batches with per-step value readbacks
@@ -139,6 +139,10 @@ def build_train_measure(iters):
                                         make_parallel_train_step)
 
     cfg = PRESETS["ucf_3step"].replace(batch_size=32)
+    if smoke:  # CPU-runnable structural check of this exact code path
+        cfg = cfg.replace(batch_size=2, image_size=32, backbone_depth="tiny",
+                          feature_stride=8, pooled_size=4,
+                          compute_dtype="float32")
     model = STEPDetector(cfg)
     mesh = create_mesh((1,), cfg.mesh_axes)
     cpu = jax.local_devices(backend="cpu")[0]
@@ -192,6 +196,10 @@ def main():
                          "30 latency, 8 train)")
     ap.add_argument("--only", default=None,
                     help="single name=value candidate instead of the list")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny CPU-runnable config (train program only) — "
+                         "structural validation of the arm path; timings "
+                         "meaningless, TPU flags will record as rejected")
     ap.add_argument("--alone", action="store_true",
                     help="ALSO measure each candidate without the shipped "
                          "VMEM flag (diagnoses interactions; default off — "
@@ -219,7 +227,8 @@ def main():
     shipped = {} if args.program == "train" else dict(SHIPPED)
     if args.program == "train":
         iters = args.iters or 8
-        train_compile, train_run, train_batch = build_train_measure(iters)
+        train_compile, train_run, train_batch = build_train_measure(
+            iters, smoke=args.smoke)
 
         def compile_fn(opts):
             return train_compile(opts)
