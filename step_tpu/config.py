@@ -228,7 +228,7 @@ class StepConfig:
     adam_mu_dtype: str = "float32"      # "float32" | "bfloat16"
     # AdamW moment STORAGE: "int8" keeps BOTH moments resident as int8
     # blocks with per-256-element fp32 absmax scales (~2.03 bytes/param vs
-    # 8 — Dettmers et al. 2022, linear-quant variant; train/optim_int8.py).
+    # 8 — Dettmers et al. 2022, log-domain code; train/optim_int8.py).
     # Update math stays fp32 (dequantize -> Adam -> requantize), so the
     # quantization enters as a bounded state perturbation, not compounding
     # arithmetic error. The single-chip HBM lever for larger real batches.
