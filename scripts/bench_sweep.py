@@ -136,6 +136,31 @@ def main():
             compiler_options={"xla_tpu_scoped_vmem_limit_kib": "65536"})
         return
 
+    if "--batch-vmem" in sys.argv:
+        # Batch x scoped-VMEM INTERACTION sweep (round 5). The r4 batch
+        # re-sweep ran at compiler DEFAULTS (B=128 won, 456.8) and the
+        # scoped-VMEM sweep ran at B=128 only (90112 KiB won, 520-529);
+        # no other (batch, vmem) pair was ever measured, and B=256 at
+        # defaults TIED B=128 at defaults (459.8 vs 456.8). Because the
+        # flag's response is spiky PER PROGRAM (a new batch is a new
+        # program), every pair is its own arm. B=128@90112 brackets the
+        # sweep as the in-context control (begin/end).
+        run("CTRL B=128 @90112 (begin)", cfg, variables, 128, device,
+            compiler_options={"xla_tpu_scoped_vmem_limit_kib": "90112"})
+        for b in (96, 144, 160, 192, 256):
+            run(f"B={b} @default", cfg, variables, b, device)
+            for kib in (65536, 90112):
+                try:
+                    run(f"B={b} @{kib}KiB", cfg, variables, b, device,
+                        compiler_options={
+                            "xla_tpu_scoped_vmem_limit_kib": str(kib)})
+                except Exception as e:  # noqa: BLE001
+                    print(f"B={b} @{kib}KiB rejected: "
+                          f"{type(e).__name__}: {e}", flush=True)
+        run("CTRL B=128 @90112 (end)", cfg, variables, 128, device,
+            compiler_options={"xla_tpu_scoped_vmem_limit_kib": "90112"})
+        return
+
     if "--flags-only" not in sys.argv:
         for b in (96, 128, 160, 192, 256):
             run(f"optimized B={b}", cfg, variables, b, device)
